@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline
+(documents -> candidates -> Arrow-batched scoring -> triples) at sf0.001.
+``queries()`` / ``oracle_sql()`` expose every oracle-checked operator; the
+oracle SQL lives in clinicaltransformerrelationextraction_spark/plans/oracle.py
+and shares its constants with the Spark operators.
 """
 
 from __future__ import annotations
@@ -12,27 +12,140 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinicaltransformerrelationextraction_spark.config import (
+    GOLD_MOD,
+    GOLD_SHIFT,
+    LABELS,
+    NON_REL,
+    PipelineConfig,
+)
+from clinicaltransformerrelationextraction_spark.operators.candidates import (
+    candidates,
+)
+from clinicaltransformerrelationextraction_spark.operators.evaluation import (
+    prf_counts,
+)
+from clinicaltransformerrelationextraction_spark.operators.scoring import (
+    score_candidates,
+)
+from clinicaltransformerrelationextraction_spark.operators.segmentation import (
+    mentions,
+    sentences,
+)
+from clinicaltransformerrelationextraction_spark.plans import oracle
+from clinicaltransformerrelationextraction_spark.plans.pipeline import (
+    load_documents,
+    run_brat,
+    run_linked,
+    run_pipeline,
+)
+
+CFG = PipelineConfig()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline documents -> (subj, pred, obj) triples."""
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    return run_pipeline(docs, CFG).triples.select(
+        "doc_id", "rel_id", "pred", "subj_id", "obj_id", "score"
+    )
+
+
+# --- pipeline queries --------------------------------------------------------
+
+def _q_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    return sentences(load_documents(spark, sf), CFG)
+
+
+def _q_mentions(spark: SparkSession, sf: str) -> DataFrame:
+    return mentions(load_documents(spark, sf), CFG)
+
+
+def _q_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    return candidates(load_documents(spark, sf), CFG)
+
+
+def _q_predictions(spark: SparkSession, sf: str) -> DataFrame:
+    scored = score_candidates(candidates(load_documents(spark, sf), CFG), CFG)
+    return scored.select(
+        "doc_id", "ent_id_1", "ent_id_2", "ent_type_1", "ent_type_2",
+        "sent_diff", "i1", "i2", "pred_label", "score",
+    )
+
+
+def _q_triples(spark: SparkSession, sf: str) -> DataFrame:
+    return run_pipeline(load_documents(spark, sf), CFG).triples.select(
+        "doc_id", "rel_id", "pred", "subj_id", "obj_id", "score"
+    )
+
+
+def _q_triples_linked(spark: SparkSession, sf: str) -> DataFrame:
+    return run_linked(load_documents(spark, sf), CFG)
+
+
+def _q_rel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_documents(spark, sf)
+    res = run_pipeline(docs, CFG)
+    men = mentions(docs, CFG)
+    m1 = men.select(
+        "doc_id", F.col("tok_idx").alias("i1"),
+        F.col("surface").alias("subj_surface"),
+    )
+    m2 = men.select(
+        "doc_id", F.col("tok_idx").alias("i2"),
+        F.col("surface").alias("obj_surface"),
+    )
+    return (
+        res.triples.join(F.broadcast(m1), ["doc_id", "i1"])
+        .join(F.broadcast(m2), ["doc_id", "i2"])
+        .groupBy("pred", "subj_surface", "obj_surface")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_eval_prf(spark: SparkSession, sf: str) -> DataFrame:
+    scored = score_candidates(candidates(load_documents(spark, sf), CFG), CFG)
+    lab_arr = F.array(*[F.lit(l) for l in LABELS])
+    gold_idx = (F.col("label_idx") + GOLD_SHIFT) % len(LABELS)
+    with_gold = scored.withColumn(
+        "gold_label",
+        F.when(
+            (3 * F.col("i1") + F.col("i2")) % GOLD_MOD == 0,
+            F.element_at(lab_arr, gold_idx + 1),
+        ).otherwise(F.lit(NON_REL)),
+    )
+    return prf_counts(with_gold, LABELS)
+
+
+def _q_brat_render(spark: SparkSession, sf: str) -> DataFrame:
+    return run_brat(load_documents(spark, sf), CFG)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_sentences": _q_sentences,
+        "q_mentions": _q_mentions,
+        "q_candidates": _q_candidates,
+        "q_predictions": _q_predictions,
+        "q_triples": _q_triples,
+        "q_triples_linked": _q_triples_linked,
+        "q_rel_stats": _q_rel_stats,
+        "q_eval_prf": _q_eval_prf,
+        "q_brat_render": _q_brat_render,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_sentences": oracle.q_sentences(),
+        "q_mentions": oracle.q_mentions(),
+        "q_candidates": oracle.q_candidates(),
+        "q_predictions": oracle.q_predictions(),
+        "q_triples": oracle.q_triples(),
+        "q_triples_linked": oracle.q_triples_linked(),
+        "q_rel_stats": oracle.q_rel_stats(),
+        "q_eval_prf": oracle.q_eval_prf(),
+        "q_brat_render": oracle.q_brat_render(),
+    }

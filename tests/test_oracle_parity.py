@@ -1,0 +1,34 @@
+"""Every oracle-checked entry in __spark_entry__ must match DuckDB at
+sf0.001 — the same compare the driver runs at sf0.01 (row count + columns +
+order-insensitive value hash)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+from tests.parity import compare
+
+QUERIES = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_parity(spark, duck, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    compare(q(spark, SF_SMOKE), duck, sql, name)
+
+
+def test_all_queries_have_callables():
+    qs = entrymod.queries()
+    for name in entrymod.oracle_sql():
+        assert name in qs, f"oracle {name} has no queries() entry"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {
+        "doc_id", "rel_id", "pred", "subj_id", "obj_id", "score"
+    }
