@@ -34,7 +34,13 @@ from clinicaltransformerrelationextraction_spark.operators.segmentation import (
     mentions,
     sentences,
 )
-from clinicaltransformerrelationextraction_spark.plans import oracle
+from clinicaltransformerrelationextraction_spark.operators import (
+    relational,
+)
+from clinicaltransformerrelationextraction_spark.plans import (
+    oracle,
+    oracle_relational,
+)
 from clinicaltransformerrelationextraction_spark.plans.pipeline import (
     load_documents,
     run_brat,
@@ -123,8 +129,24 @@ def _q_brat_render(spark: SparkSession, sf: str) -> DataFrame:
     return run_brat(load_documents(spark, sf), CFG)
 
 
+def _module_queries(impl_mod, sql_mod):
+    """Pair up q_* functions in an operators module with same-named oracle
+    SQL builders."""
+    qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    sqls: dict[str, str] = {}
+    for name in dir(sql_mod):
+        if name.startswith("q_"):
+            qs[name] = getattr(impl_mod, name)
+            sqls[name] = getattr(sql_mod, name)()
+    return qs, sqls
+
+
+_REL_QUERIES, _REL_SQL = _module_queries(relational, oracle_relational)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        **_REL_QUERIES,
         "q_sentences": _q_sentences,
         "q_mentions": _q_mentions,
         "q_candidates": _q_candidates,
@@ -139,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        **_REL_SQL,
         "q_sentences": oracle.q_sentences(),
         "q_mentions": oracle.q_mentions(),
         "q_candidates": oracle.q_candidates(),

@@ -1,0 +1,287 @@
+"""Relational operator coverage (SURVEY.md §2.2-2.7) as DataFrame programs
+over the TPC-H-ish testdata tables.
+
+Each function maps to reference operators (IDs from SURVEY.md §2) and has a
+matching ANSI-SQL oracle in plans/oracle_relational.py. Cross-engine float
+discipline: monetary aggregates are summed as decimal(18,2) (exact,
+order-independent); ratios are a single double division of exact values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/{name}.parquet")
+
+
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape — grouped aggregation with partial (map-side) combine;
+    the reference's label-frequency aggregation A1 generalized."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice").cast(DEC)
+                 * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+                .cast("decimal(30,4)")
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty",
+            F.round(
+                F.col("sum_qty").cast("double") / F.col("count_order"), 6
+            ),
+        )
+    )
+
+
+def q_label_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 — label frequency -> sample weight w = 1 - freq/total
+    (src/data_utils.py:210-223)."""
+    li = _t(spark, sf, "lineitem")
+    counts = li.groupBy(F.col("l_returnflag").alias("label")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy()
+    return counts.select(
+        "label",
+        "n",
+        F.round(1 - F.col("n") / F.sum("n").over(w), 6).alias("weight"),
+    )
+
+
+def q_distinct_labels(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 — distinct label vocabulary (src/data_utils.py:225-253)."""
+    return (
+        _t(spark, sf, "orders")
+        .select(F.col("o_orderpriority").alias("label"))
+        .distinct()
+    )
+
+
+def q_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """W3 — global top-k with deterministic tiebreak."""
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_first_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """W1 — per-partition sequential numbering (post_processing.py:49-63
+    R-renumbering pattern): first 3 orders per customer."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def q_fold_split(spark: SparkSession, sf: str) -> DataFrame:
+    """W6 — deterministic 5-fold split (preprocessing.ipynb to_5_cv):
+    ntile over a stable order; returns fold sizes + orderkey checksum."""
+    w = Window.orderBy("o_orderkey")
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("fold", F.ntile(5).over(w))
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """F5/E3 — anti join (gold-pair exclusion pattern)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_customers_with_building_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """F3 — semi join (valid-combination predicate pattern)."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+def q_revenue_by_region(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 — broadcast dimension chain: orders⋈customer⋈nation⋈region.
+    nation/region are broadcast (tiny dims); customer joins shuffle."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_events_by_value_band(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 — range/interval join: events against a small bands table
+    (entity-to-sentence alignment pattern)."""
+    bands = spark.createDataFrame(
+        [(0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 200.0),
+         (3, 200.0, 1e9)],
+        ["band_id", "lo", "hi"],
+    )
+    e = _t(spark, sf, "events")
+    return (
+        e.join(
+            F.broadcast(bands),
+            (e.value >= bands.lo) & (e.value < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias(
+                "value_sum"
+            ),
+        )
+    )
+
+
+def q_custkey_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """E1/E2 — intersect + except over two derived key sets
+    (gold∩system file pairing, brat_eval.py:448-457)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    with_orders = o.select(F.col("o_custkey").alias("k")).distinct()
+    positive_bal = c.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    both = with_orders.intersect(positive_bal).select(
+        F.lit("both").alias("tag"), "k"
+    )
+    only_orders = with_orders.exceptAll(positive_bal).select(
+        F.lit("only_orders").alias("tag"), "k"
+    )
+    return both.unionByName(only_orders)
+
+
+def q_union_priorities(spark: SparkSession, sf: str) -> DataFrame:
+    """E4/E5 — union of tagged subsets (pos+neg sample merge pattern)."""
+    o = _t(spark, sf, "orders")
+    hi = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("src"), "o_orderkey"
+    )
+    lo = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.lit("low").alias("src"), "o_orderkey"
+    )
+    return hi.unionByName(lo)
+
+
+def q_event_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 — confusion-matrix-style pivot: user bucket × event type counts
+    (measure_prf groupBy-pivot restatement). Explicit conditional sums keep
+    the SQL oracle identical."""
+    e = _t(spark, sf, "events")
+    b = e.withColumn("bucket", (F.col("user_id") % 5).cast("int"))
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(
+            f"n_{t}"
+        )
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return b.groupBy("bucket").agg(*aggs)
+
+
+def q_lineitem_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping-sets coverage: cube over (returnflag, linestatus) with
+    ALL placeholders (free extra beyond the reference, SURVEY.md §2.4)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def q_events_by_hour(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time functions: hour-of-day histogram + per-day distinct users."""
+    e = _t(spark, sf, "events")
+    return (
+        e.withColumn("hour", F.hour("ts"))
+        .groupBy("hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_part_strings(spark: SparkSession, sf: str) -> DataFrame:
+    """C1/C5/C7 — string function coverage: case, substring, split,
+    concat, length, regexp extraction."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("::", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", "([0-9]+)", 1).alias("name_num"),
+        F.size(F.split("p_type", " ")).alias("type_words"),
+    )
+
+
+def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured extraction from the events props JSON column."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select((k % 10).alias("k_mod"))
+        .groupBy("k_mod")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (north rule): salt the hot key space,
+    partial-aggregate per (key, salt), then merge. Result is identical to a
+    plain groupBy — the oracle IS the plain groupBy."""
+    li = _t(spark, sf, "lineitem")
+    salted = li.withColumn(
+        "salt", F.pmod(F.hash("l_partkey", "l_suppkey"), F.lit(8))
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("ps"),
+        F.count("*").alias("pn"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("ps").alias("sum_qty"), F.sum("pn").alias("n")
+    )

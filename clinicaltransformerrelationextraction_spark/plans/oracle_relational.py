@@ -1,0 +1,180 @@
+"""DuckDB oracle SQL for the relational operator coverage
+(operators/relational.py). Monetary sums are decimal(18,2) on both engines
+so values are exact and order-independent."""
+
+from __future__ import annotations
+
+
+def q_tpch_q1() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
+  sum(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
+  sum((l_extendedprice::DECIMAL(18,2)
+       * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(30,4))
+    AS sum_disc_price,
+  count(*)::BIGINT AS count_order,
+  round(sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_label_weights() -> str:
+    return """
+WITH c AS (
+  SELECT l_returnflag AS label, count(*)::BIGINT AS n FROM lineitem GROUP BY 1
+)
+SELECT label, n, round(1 - n / sum(n) OVER (), 6) AS weight FROM c
+"""
+
+
+def q_distinct_labels() -> str:
+    return "SELECT DISTINCT o_orderpriority AS label FROM orders"
+
+
+def q_top_orders() -> str:
+    return """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_first_orders_per_customer() -> str:
+    return """
+SELECT o_custkey, o_orderkey, rn::INT AS rn FROM (
+  SELECT o_custkey, o_orderkey,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 3
+"""
+
+
+def q_fold_split() -> str:
+    return """
+SELECT fold::INT AS fold, count(*)::BIGINT AS n,
+       sum(o_orderkey)::BIGINT AS key_sum
+FROM (SELECT o_orderkey, ntile(5) OVER (ORDER BY o_orderkey) AS fold
+      FROM orders)
+GROUP BY fold
+"""
+
+
+def q_customers_without_orders() -> str:
+    return """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_customers_with_building_orders() -> str:
+    return """
+SELECT c_custkey, c_acctbal FROM customer c
+WHERE c_mktsegment = 'BUILDING'
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_revenue_by_region() -> str:
+    return """
+SELECT r_name AS region,
+  sum(o_totalprice::DECIMAL(18,2)) AS revenue,
+  count(*)::BIGINT AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_events_by_value_band() -> str:
+    return """
+WITH bands(band_id, lo, hi) AS (
+  VALUES (0::BIGINT, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 200.0),
+         (3, 200.0, 1e9)
+)
+SELECT band_id, count(*)::BIGINT AS n,
+  round(sum(value::DECIMAL(18,2))::DOUBLE, 2) AS value_sum
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id
+"""
+
+
+def q_custkey_setops() -> str:
+    return """
+WITH wo AS (SELECT DISTINCT o_custkey AS k FROM orders),
+     pb AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0)
+SELECT 'both' AS tag, k FROM (SELECT k FROM wo INTERSECT SELECT k FROM pb)
+UNION ALL
+SELECT 'only_orders' AS tag, k FROM (SELECT k FROM wo EXCEPT ALL SELECT k FROM pb)
+"""
+
+
+def q_union_priorities() -> str:
+    return """
+SELECT 'urgent' AS src, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT 'low' AS src, o_orderkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+def q_event_type_pivot() -> str:
+    cols = ",\n  ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}"
+        for t in ["click", "view", "purchase", "signup", "error"]
+    )
+    return f"""
+SELECT (user_id % 5)::INT AS bucket,
+  {cols}
+FROM events GROUP BY 1
+"""
+
+
+def q_lineitem_cube() -> str:
+    return """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*)::BIGINT AS n,
+       sum(l_quantity::DECIMAL(18,2)) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_events_by_hour() -> str:
+    return """
+SELECT date_part('hour', ts)::INT AS hour, count(*)::BIGINT AS n,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def q_part_strings() -> str:
+    return """
+SELECT p_partkey,
+  upper(p_brand) AS brand_upper,
+  length(p_name)::INT AS name_len,
+  substring(p_type, 1, 5) AS type_prefix,
+  p_brand || '::' || p_type AS brand_type,
+  coalesce(regexp_extract(p_name, '([0-9]+)', 1), '') AS name_num,
+  len(string_split(p_type, ' '))::INT AS type_words
+FROM part
+"""
+
+
+def q_json_props() -> str:
+    return """
+SELECT (CAST(json_extract_string(props, '$.k') AS INT) % 10)::INT AS k_mod,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_salted_agg() -> str:
+    return """
+SELECT l_returnflag, sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY l_returnflag
+"""
