@@ -35,11 +35,16 @@ from clinicaltransformerrelationextraction_spark.operators.segmentation import (
     sentences,
 )
 from clinicaltransformerrelationextraction_spark.operators import (
+    dedup,
+    multimodal,
     relational,
+    similarity,
+    textstats,
 )
 from clinicaltransformerrelationextraction_spark.plans import (
     oracle,
     oracle_relational,
+    oracle_training,
 )
 from clinicaltransformerrelationextraction_spark.plans.pipeline import (
     load_documents,
@@ -129,24 +134,35 @@ def _q_brat_render(spark: SparkSession, sf: str) -> DataFrame:
     return run_brat(load_documents(spark, sf), CFG)
 
 
-def _module_queries(impl_mod, sql_mod):
-    """Pair up q_* functions in an operators module with same-named oracle
-    SQL builders."""
+def _module_queries(impl_mods, sql_mod):
+    """Pair up q_* oracle SQL builders with the same-named implementation
+    in one of the operator modules."""
+    if not isinstance(impl_mods, (list, tuple)):
+        impl_mods = [impl_mods]
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     sqls: dict[str, str] = {}
     for name in dir(sql_mod):
         if name.startswith("q_"):
-            qs[name] = getattr(impl_mod, name)
+            for mod in impl_mods:
+                if hasattr(mod, name):
+                    qs[name] = getattr(mod, name)
+                    break
+            else:
+                raise AttributeError(f"no implementation found for {name}")
             sqls[name] = getattr(sql_mod, name)()
     return qs, sqls
 
 
 _REL_QUERIES, _REL_SQL = _module_queries(relational, oracle_relational)
+_TRAIN_QUERIES, _TRAIN_SQL = _module_queries(
+    [dedup, textstats, similarity, multimodal], oracle_training
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         **_REL_QUERIES,
+        **_TRAIN_QUERIES,
         "q_sentences": _q_sentences,
         "q_mentions": _q_mentions,
         "q_candidates": _q_candidates,
@@ -162,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         **_REL_SQL,
+        **_TRAIN_SQL,
         "q_sentences": oracle.q_sentences(),
         "q_mentions": oracle.q_mentions(),
         "q_candidates": oracle.q_candidates(),

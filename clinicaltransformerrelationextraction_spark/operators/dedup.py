@@ -1,0 +1,205 @@
+"""Deduplication operators over the documents table — the training-data
+pipeline ops a 100 TB corpus needs before KG construction (exact dedup,
+MinHash+LSH, SimHash, n-gram Jaccard).
+
+Scale design:
+- shingling + minhash signatures are computed IN-ROW (higher-order
+  functions, zero shuffle);
+- the only shuffles are the LSH band-bucket self-join (equi-join on
+  (band, band_key) — exactly what LSH exists for: it replaces the quadratic
+  all-pairs join with a bucket join) and the final distinct;
+- exact jaccard is computed only for LSH candidate pairs.
+
+Hash discipline: md5 (string) everywhere — identical across Spark and the
+DuckDB oracle; engine-native hash() differs between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_SEEDS = 8  # minhash signature length
+BAND_ROWS = 2  # rows per LSH band -> N_SEEDS/BAND_ROWS bands
+JACCARD_MIN = 0.5  # near-dup threshold on bigram jaccard
+SIMHASH_BITS = 16
+HEX = "0123456789abcdef"
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def shingles_col(toks: Column, n: int = 2) -> Column:
+    """Distinct n-token shingles, built in-row. Guarded for short docs:
+    Spark's sequence(1, 0) DESCENDS, so the empty case must be explicit."""
+    joined = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(joined)
+
+
+def minhash_cols(shingles: Column, n_seeds: int = N_SEEDS) -> list[Column]:
+    """One min-hash per seed: min(md5('<seed>|<shingle>'))."""
+    return [
+        F.array_min(
+            F.transform(
+                shingles, lambda x: F.md5(F.concat(F.lit(f"{s}|"), x))
+            )
+        ).alias(f"mh{s}")
+        for s in range(n_seeds)
+    ]
+
+
+def _with_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id", shingles_col(toks).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep min doc_id."""
+    return (
+        _docs(spark, sf)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, seed, mh) — the per-doc MinHash signature."""
+    sh = _with_shingles(spark, sf)
+    sig = sh.select("doc_id", F.array(*minhash_cols(F.col("shingles"))).alias("sig"))
+    return sig.select(
+        "doc_id", F.posexplode("sig").alias("seed", "mh")
+    ).select("doc_id", F.col("seed").cast("int").alias("seed"), "mh")
+
+
+def _bands(spark: SparkSession, sf: str) -> DataFrame:
+    sh = _with_shingles(spark, sf)
+    mhs = minhash_cols(F.col("shingles"))
+    n_bands = N_SEEDS // BAND_ROWS
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[mhs[b * BAND_ROWS + r] for r in range(BAND_ROWS)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sh.select("doc_id", F.posexplode(band_keys).alias("band", "bkey")) \
+        .select("doc_id", F.col("band").cast("int").alias("band"), "bkey")
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band bucket
+    (a < b), with the number of shared bands."""
+    b = _bands(spark, sf)
+    a = b.alias("a")
+    c = b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact bigram Jaccard for the LSH candidate pairs (the verify step of
+    MinHash dedup): inter/union from exact integer set sizes."""
+    pairs = q_dedup_minhash_pairs(spark, sf).select("doc_a", "doc_b")
+    sh = _with_shingles(spark, sf)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
+    j = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sha", "shb")).alias("inter"),
+            (F.size("sha") + F.size("shb")
+             - F.size(F.array_intersect("sha", "shb"))).alias("uni"),
+        )
+    )
+    return j.select(
+        "doc_a", "doc_b", "inter", "uni",
+        (F.col("inter") / F.col("uni")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= JACCARD_MIN)
+
+
+def simhash_col(toks: Column) -> Column:
+    """16-bit SimHash over distinct tokens: bit j is the majority of bit j
+    of md5(token) across tokens (ties -> 1)."""
+    dt = F.array_distinct(toks)
+    n = F.size(dt)
+    terms = []
+    for j in range(SIMHASH_BITS):
+        hex_pos = 1 + j // 4
+        shift = 3 - (j % 4)
+        ones = F.size(
+            F.filter(
+                dt,
+                lambda t: (
+                    F.shiftright(
+                        F.conv(F.substring(F.md5(t), hex_pos, 1), 16, 10)
+                        .cast("int"),
+                        shift,
+                    ).bitwiseAND(F.lit(1))
+                    == 1
+                ),
+            )
+        )
+        terms.append(
+            F.when(2 * ones >= n, F.lit(1 << j)).otherwise(F.lit(0))
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    return docs.select(
+        "doc_id", simhash_col(F.split("text", " ")).alias("simhash")
+    )
+
+
+def q_simhash_hamming_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Histogram of pairwise SimHash hamming distances — the compact
+    correctness check of the near-dup metric space."""
+    sh = q_simhash(spark, sf)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming")
+        )
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )

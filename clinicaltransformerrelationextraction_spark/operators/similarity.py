@@ -1,0 +1,183 @@
+"""Similarity search over the embeddings table.
+
+Cross-engine float discipline: embeddings are quantized to fixed-point
+integers (round(x * 1e7) via floor(x*1e7 + 0.5)) so dot products are exact
+BIGINT arithmetic; the final cosine is a single double expression of those
+integers — bit-identical on Spark and DuckDB regardless of summation order.
+
+Scale design:
+- brute-force top-k is the CORRECTNESS baseline (quadratic; fine for a
+  query set × corpus);
+- hyperplane LSH bucketing is the SCALE path: the quadratic all-pairs join
+  becomes an equi-join on bucket id. At 100 TB you'd bucket once, store
+  bucket as a partition column, and prune at scan time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUANT = 10_000_000
+N_PLANES = 16
+TOPK = 10
+N_QUERIES = 8  # vec_id < N_QUERIES are the query set
+NEARDUP_COS = 0.4
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def quantized(col: Column) -> Column:
+    # explicit widen to double FIRST: float32*int arithmetic differs between
+    # engines; float->double widening is exact and identical
+    return F.transform(
+        col,
+        lambda x: F.floor(x.cast("double") * QUANT + F.lit(0.5)).cast("long"),
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Fixed-point cosine: exact integer dots, one double expression."""
+    return _dot(a, b).cast("double") / (
+        F.sqrt(_dot(a, a).cast("double")) * F.sqrt(_dot(b, b).cast("double"))
+    )
+
+
+def _q(spark: SparkSession, sf: str) -> DataFrame:
+    return _emb(spark, sf).select(
+        "vec_id", quantized(F.col("embedding")).alias("qe")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector (vec_id < N_QUERIES),
+    the TOPK nearest corpus vectors (vec_id >= N_QUERIES), rank by cosine
+    desc with vec_id tiebreak."""
+    from pyspark.sql import Window
+
+    q = _q(spark, sf).filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("qv")
+    )
+    c = _q(spark, sf).filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qe").alias("cv")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos")
+    )
+
+
+def lsh_bucket(qe: Column, n_planes: int = N_PLANES) -> Column:
+    """Random-hyperplane LSH with deterministic ±1 planes:
+    s(i,j) = +1 if (i*7 + j*13) even else -1 (i = 1-based dim index).
+    bucket = sum_j [dot(v, s_j) >= 0] << j. Integer-exact."""
+    terms = []
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.transform(
+                qe,
+                lambda x, i0: F.when(
+                    ((i0 + 1) * 7 + j * 13) % 2 == 0, x
+                ).otherwise(-x),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        terms.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, bucket) hyperplane-LSH assignment — the scale-path index."""
+    return _q(spark, sf).select(
+        "vec_id", lsh_bucket(F.col("qe")).alias("bucket")
+    )
+
+
+def q_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-duplicate pairs: all (a < b) with fixed-point cosine
+    above NEARDUP_COS. Brute force here (correctness baseline); the LSH
+    bucket join is the scale path for the same predicate."""
+    a = _q(spark, sf).select(
+        F.col("vec_id").alias("vec_a"), F.col("qe").alias("qa")
+    )
+    b = _q(spark, sf).select(
+        F.col("vec_id").alias("vec_b"), F.col("qe").alias("qb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", cosine(F.col("qa"), F.col("qb")).alias("cos")
+        )
+        .filter(F.col("cos") > NEARDUP_COS)
+    )
+
+
+def q_label_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label quantized centroid (integer mean, floor division) and each
+    vector's cosine to its own label centroid, aggregated per label —
+    exercises array aggregation + rejoin."""
+    q = _emb(spark, sf).select(
+        "vec_id", "label", quantized(F.col("embedding")).alias("qe")
+    )
+    # integer centroid: floor(sum_i / n) per dimension
+    dims = q.select(
+        "vec_id", "label", F.posexplode("qe").alias("dim", "v")
+    )
+    # floor, not cast: Spark double->long cast truncates toward zero while
+    # DuckDB ::BIGINT rounds — floor() agrees on both engines
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.floor(F.sum("v") / F.count("*")).cast("long").alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("cv")))
+                ),
+                lambda s: s["cv"],
+            ).alias("centroid")
+        )
+    )
+    joined = q.join(F.broadcast(cent), "label").select(
+        "label", cosine(F.col("qe"), F.col("centroid")).alias("cos")
+    )
+    # average via integer micro-cosines: exact bigint sum (order-free), one
+    # double division — engine-identical (double avg would be order-dependent)
+    return (
+        joined.select(
+            "label",
+            F.floor(F.col("cos") * 1e6 + F.lit(0.5)).cast("long").alias(
+                "cos_u"
+            ),
+            "cos",
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("cos_u") / F.count("*")).alias("avg_cos_micro"),
+            F.min("cos").alias("min_cos"),
+        )
+    )

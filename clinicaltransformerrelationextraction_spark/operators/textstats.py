@@ -1,0 +1,85 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting — all JVM-side built-ins, zero Python in the hot
+path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ["the", "a"]
+EN_RATIO_MIN = 0.05
+BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex pretokens, chars."""
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_ISH)).alias("n_re_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.col("n_chars").cast("long").alias("n_chars_meta"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-ratio language heuristic vs the gold lang column, as a
+    confusion-matrix aggregate (pred_lang, lang, n)."""
+    d = _docs(spark, sf)
+    toks = F.split("text", " ")
+    stop_n = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    ratio = stop_n / F.size(toks)
+    pred = F.when(ratio >= EN_RATIO_MIN, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+    return (
+        d.select(pred.alias("pred_lang"), "lang")
+        .groupBy("pred_lang", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc quality features + one scalar score. All components are
+    single double divisions of exact integers (engine-identical)."""
+    d = _docs(spark, sf)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_dist = F.size(F.array_distinct(toks))
+    char_sum = F.length("text") - (n - 1)  # total token chars
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (n_dist / n).alias("distinct_ratio"),
+        (char_sum / n).alias("avg_tok_len"),
+        ((n_dist / n) * 0.7 + (char_sum / n) / 10.0 * 0.3).alias(
+            "quality_score"
+        ),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprints: canonical bag-of-words hash + min-shingle
+    hash (winnowing-style representative)."""
+    d = _docs(spark, sf)
+    toks = F.split("text", " ")
+    bag = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    min_shingle = F.array_min(F.transform(bigrams, F.md5))
+    return d.select(
+        "doc_id", bag.alias("bag_fp"), min_shingle.alias("min_shingle_fp")
+    )

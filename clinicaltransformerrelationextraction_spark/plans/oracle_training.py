@@ -1,0 +1,286 @@
+"""DuckDB oracle SQL for the training-data pipeline operators
+(operators/dedup.py, textstats.py, similarity.py, multimodal.py).
+Constants must track the operator modules."""
+
+from __future__ import annotations
+
+from ..operators.dedup import BAND_ROWS, JACCARD_MIN, N_SEEDS, SIMHASH_BITS
+from ..operators.similarity import (
+    N_PLANES,
+    N_QUERIES,
+    NEARDUP_COS,
+    QUANT,
+    TOPK,
+)
+from ..operators.textstats import BPE_ISH, EN_RATIO_MIN, EN_STOPWORDS
+
+# --- dedup -------------------------------------------------------------------
+
+_SHINGLES = """
+sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(tl[i:i+1], ' ')
+                   for i in range(1, len(tl))]) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+  WHERE len(tl) >= 2
+)"""
+
+_MH = f"""
+mh AS (
+  SELECT doc_id, s.seed::INT AS seed,
+         min(md5(s.seed || '|' || sg.s)) AS mh
+  FROM sh, UNNEST(shingles) sg(s), UNNEST(range(0, {N_SEEDS})) s(seed)
+  GROUP BY doc_id, s.seed
+)"""
+
+_BANDS = f"""
+bands AS (
+  SELECT doc_id, (seed // {BAND_ROWS})::INT AS band,
+         md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
+  FROM mh GROUP BY doc_id, seed // {BAND_ROWS}
+)"""
+
+_PAIRS = """
+mpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*)::BIGINT AS n_shared_bands
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+def q_dedup_exact() -> str:
+    return """
+SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS keeper_doc_id,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_signatures() -> str:
+    return f"WITH {_SHINGLES.strip()}, {_MH.strip()}\n" \
+           "SELECT doc_id, seed, mh FROM mh"
+
+
+def q_dedup_minhash_pairs() -> str:
+    return (
+        f"WITH {_SHINGLES.strip()}, {_MH.strip()}, {_BANDS.strip()}, "
+        f"{_PAIRS.strip()}\nSELECT * FROM mpairs"
+    )
+
+
+def q_dedup_jaccard() -> str:
+    return f"""
+WITH {_SHINGLES.strip()}, {_MH.strip()}, {_BANDS.strip()}, {_PAIRS.strip()},
+ex AS (
+  SELECT p.doc_a, p.doc_b,
+    len(list_intersect(a.shingles, b.shingles))::INT AS inter,
+    (len(a.shingles) + len(b.shingles)
+     - len(list_intersect(a.shingles, b.shingles)))::INT AS uni
+  FROM mpairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, inter, uni, inter / uni AS jaccard
+FROM ex WHERE inter / uni >= {JACCARD_MIN}
+"""
+
+
+_SIMHASH = f"""
+dt AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, j.j,
+    count(*) FILTER (
+      ((strpos('0123456789abcdef', substring(md5(tok), 1 + j.j // 4, 1)) - 1)
+       >> (3 - (j.j % 4))) & 1 = 1) AS ones,
+    count(*) AS n
+  FROM dt, UNNEST(range(0, {SIMHASH_BITS})) j(j)
+  GROUP BY doc_id, j.j
+),
+simh AS (
+  SELECT doc_id,
+    sum(CASE WHEN 2 * ones >= n THEN 1 << j ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)"""
+
+
+def q_simhash() -> str:
+    return f"WITH {_SIMHASH.strip()}\nSELECT doc_id, simhash FROM simh"
+
+
+def q_simhash_hamming_hist() -> str:
+    return f"""
+WITH {_SIMHASH.strip()}
+SELECT bit_count(xor(a.simhash, b.simhash))::INT AS hamming,
+       count(*)::BIGINT AS n_pairs
+FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+GROUP BY 1
+"""
+
+
+# --- textstats ---------------------------------------------------------------
+
+def q_token_stats() -> str:
+    return f"""
+SELECT doc_id,
+  len(string_split(text, ' '))::INT AS n_ws_tokens,
+  len(regexp_extract_all(text, '{BPE_ISH}'))::INT AS n_re_tokens,
+  length(text)::INT AS n_chars_computed,
+  n_chars::BIGINT AS n_chars_meta
+FROM documents
+"""
+
+
+def q_lang_id() -> str:
+    stops = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT lang,
+    len([x for x in string_split(text, ' ') if x IN ({stops})])
+      / len(string_split(text, ' ')) AS ratio
+  FROM documents
+)
+SELECT CASE WHEN ratio >= {EN_RATIO_MIN} THEN 'en' ELSE 'other' END
+         AS pred_lang,
+       lang, count(*)::BIGINT AS n
+FROM t GROUP BY 1, 2
+"""
+
+
+def q_quality() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n,
+    len(list_distinct(string_split(text, ' '))) AS n_dist,
+    length(text) - (len(string_split(text, ' ')) - 1) AS char_sum
+  FROM documents
+)
+SELECT doc_id, n::INT AS n_tokens,
+  n_dist / n AS distinct_ratio,
+  char_sum / n AS avg_tok_len,
+  (n_dist / n) * 0.7 + (char_sum / n) / 10.0 * 0.3 AS quality_score
+FROM t
+"""
+
+
+def q_fingerprint() -> str:
+    return """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(tl)), ' ')) AS bag_fp,
+  list_min([md5(array_to_string(tl[i:i+1], ' '))
+            for i in range(1, len(tl))]) AS min_shingle_fp
+FROM t
+"""
+
+
+# --- similarity --------------------------------------------------------------
+
+_QE = f"""
+q AS (
+  SELECT vec_id, label,
+    list_transform(embedding,
+                   x -> (floor(x::DOUBLE * {QUANT} + 0.5))::BIGINT) AS qe
+  FROM embeddings
+)"""
+
+_COS = (
+    "list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> {a}[i] * {b}[i]))::DOUBLE"
+    " / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> {a}[i] * {a}[i]))::DOUBLE)"
+    " * sqrt(list_sum(list_transform(range(1, len({b}) + 1),"
+    " i -> {b}[i] * {b}[i]))::DOUBLE))"
+)
+
+
+def q_ann_topk() -> str:
+    cos = _COS.format(a="a.qe", b="b.qe")
+    return f"""
+WITH {_QE.strip()},
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {cos} AS cos
+  FROM q a JOIN q b
+    ON a.vec_id < {N_QUERIES} AND b.vec_id >= {N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INT AS rank, cos
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def q_ann_lsh_buckets() -> str:
+    terms = []
+    for j in range(N_PLANES):
+        proj = (
+            f"list_sum(list_transform(range(1, len(qe) + 1), "
+            f"i -> CASE WHEN (i * 7 + {j} * 13) % 2 = 0 "
+            f"THEN qe[i] ELSE -qe[i] END))"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END)")
+    expr = " + ".join(terms)
+    return f"""
+WITH {_QE.strip()}
+SELECT vec_id, ({expr})::BIGINT AS bucket FROM q
+"""
+
+
+def q_embed_neardup() -> str:
+    cos = _COS.format(a="a.qe", b="b.qe")
+    return f"""
+WITH {_QE.strip()}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos
+FROM q a JOIN q b ON a.vec_id < b.vec_id
+WHERE {cos} > {NEARDUP_COS}
+"""
+
+
+def q_label_centroid_sim() -> str:
+    cos = _COS.format(a="q.qe", b="c.centroid")
+    return f"""
+WITH {_QE.strip()},
+dims AS (
+  SELECT label, d.i AS dim, qe[d.i] AS v
+  FROM q, UNNEST(range(1, len(qe) + 1)) d(i)
+),
+cd AS (
+  SELECT label, dim, floor(sum(v) / count(*))::BIGINT AS cv
+  FROM dims GROUP BY label, dim
+),
+cent AS (
+  SELECT label,
+    list_transform(list_sort(list(struct_pack(d := dim, c := cv))),
+                   x -> x.c) AS centroid
+  FROM cd GROUP BY label
+),
+cosd AS (
+  SELECT q.label, {cos} AS cos
+  FROM q JOIN cent c ON q.label = c.label
+)
+SELECT label, count(*)::BIGINT AS n,
+  sum((floor(cos * 1e6 + 0.5))::BIGINT) / count(*) AS avg_cos_micro,
+  min(cos) AS min_cos
+FROM cosd GROUP BY label
+"""
+
+
+# --- multimodal --------------------------------------------------------------
+
+def q_multimodal_meta() -> str:
+    return """
+SELECT doc_id,
+  octet_length(encode(text))::INT AS byte_len,
+  lower(hex(encode(substring(text, 1, 8)))) AS magic_hex,
+  octet_length(encode(text)) / length(text) AS bytes_per_char
+FROM documents
+"""
