@@ -1,0 +1,188 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "triples_per_sec": ...}
+
+--scaling: additionally runs the flagship pipeline at local[8] and local[32]
+on the same input and reports throughput at both plus scaling efficiency
+(the sandbox stand-in for N vs 4N executors; results land in BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "q_triples",          # flagship KG pipeline: candidates->score->triples
+    "q_candidates",       # candidate generation only (zero-shuffle stage)
+    "q_tpch_q1",          # scan-heavy grouped aggregation
+    "q_revenue_by_region",  # multi-join
+    "q_dedup_minhash_pairs",  # shingle->minhash->LSH bucket join
+    "q_simhash",          # per-doc simhash
+    "q_ann_topk",         # brute-force cosine top-k
+    "q_token_stats",      # text stats scan
+]
+
+
+def _session(cpus: str):
+    from clinicaltransformerrelationextraction_spark.session import get_spark
+
+    return get_spark(
+        app_name="ctre-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus), 8),
+    )
+
+
+def _warm_python_workers(spark) -> None:
+    """Start one Python UDF worker per core before timing: worker startup
+    (numpy/pandas import, ~10 s across 32 workers) is environment overhead,
+    not query cost, and is amortized away on any long-running cluster."""
+    import pandas as pd
+
+    def _identity(batches):
+        for b in batches:
+            yield b
+
+    n = spark.sparkContext.defaultParallelism * 2
+    spark.range(n * 4, numPartitions=n).mapInPandas(
+        _identity, schema="id long"
+    ).count()
+
+
+def run_bench() -> dict:
+    import __spark_entry__ as entry
+
+    spark = _session(CPUS)
+    _warm_python_workers(spark)
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    n_triples = 0
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.time()
+        cnt = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        if name == "q_triples":
+            n_triples = cnt
+    total = round(sum(timings.values()), 3)
+    triples_per_sec = (
+        round(n_triples / timings["q_triples"], 1)
+        if timings.get("q_triples")
+        else None
+    )
+    spark.stop()
+    return {
+        "metric": "headline query wall time (sf%s, local[%s])"
+        % (SF_DIR.rstrip("/").rsplit("sf", 1)[-1], CPUS),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "n_triples": n_triples,
+        "triples_per_sec": triples_per_sec,
+    }
+
+
+SCALE_REPL = int(os.environ.get("CTRE_SCALING_REPL", "40"))
+
+
+def _scaling_input(spark) -> str:
+    """Replicate the documents table SCALE_REPL× into a multi-file parquet
+    dir so (a) both parallelism levels read the identical input and (b) each
+    core has real work — at sf0.1 alone, task-scheduling overhead dominates
+    and the scaling measurement is meaningless."""
+    path = f"/tmp/ctre_scaling_docs_repl{SCALE_REPL}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        reps = spark.range(SCALE_REPL).withColumnRenamed("id", "rep")
+        big = docs.crossJoin(reps).select(
+            (F.col("doc_id") * SCALE_REPL + F.col("rep")).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        big.repartition(256).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_scaling_level(cpus: str, path: str, repeats: int = 3) -> dict:
+    """One parallelism level, run in a FRESH JVM (subprocess) so heap state
+    and JVM flags don't leak between levels. Reports the best of N runs
+    (steady-state throughput, the quantity that scales with executors)."""
+    from clinicaltransformerrelationextraction_spark.config import (
+        PipelineConfig,
+    )
+    from clinicaltransformerrelationextraction_spark.plans.pipeline import (
+        run_pipeline,
+    )
+
+    spark = _session(cpus)
+    _warm_python_workers(spark)
+    docs = spark.read.parquet(path)
+    best, n = None, 0
+    run_pipeline(docs, PipelineConfig()).triples.count()  # warm-up
+    for _ in range(repeats):
+        t0 = time.time()
+        n = run_pipeline(docs, PipelineConfig()).triples.count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    spark.stop()
+    return {
+        "sec": round(best, 3),
+        "triples_per_sec": round(n / best, 1),
+        "n_triples": n,
+    }
+
+
+def run_scaling() -> dict:
+    """The flagship pipeline (documents -> candidates -> Arrow-batched
+    scoring -> triples) at two parallelism levels on the SAME input — the
+    sandbox stand-in for the north rule's N vs 4N executors. Each level runs
+    in its own subprocess (fresh JVM, same heap size)."""
+    import subprocess
+
+    prep = _session(CPUS)
+    path = _scaling_input(prep)
+    prep.stop()
+
+    out = {}
+    env = dict(os.environ, CTRE_DRIVER_MEM="24g")
+    for cpus in ("8", "32"):
+        # pin the WHOLE process tree (JVM task threads + Python UDF workers)
+        # to exactly `cpus` cores — otherwise local[8]'s Python workers
+        # overflow onto spare cores and the 8-core level is not an 8-core
+        # cluster stand-in
+        cmd = [
+            "taskset", "-c", f"0-{int(cpus) - 1}",
+            sys.executable, os.path.abspath(__file__),
+            "--scaling-level", cpus, path,
+        ]
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, env=env, check=True,
+        )
+        out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
+    eff = out["32"]["triples_per_sec"] / out["8"]["triples_per_sec"] / 4.0
+    out["scaling_efficiency_8_to_32"] = round(eff, 3)
+    out["replication"] = SCALE_REPL
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling-level" in sys.argv:
+        i = sys.argv.index("--scaling-level")
+        print(json.dumps(run_scaling_level(sys.argv[i + 1], sys.argv[i + 2])))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
+from ..functions.util import ensure_parallelism
 
 __all__ = ["tokens_col", "mentions_col", "pairs_col", "candidates"]
 
@@ -131,7 +132,9 @@ def candidates(
     """
     cfg = cfg or PipelineConfig()
     toks = tokens_col(F.col(text_col))
-    base = df.select(F.col(doc_col).alias("doc_id"), toks.alias("toks"))
+    base = ensure_parallelism(
+        df.select(F.col(doc_col).alias("doc_id"), toks.alias("toks"))
+    )
     men = mentions_col(cfg, F.col("toks"))
     pairs = pairs_col(cfg, men)
     if cfg.max_pairs_per_doc:

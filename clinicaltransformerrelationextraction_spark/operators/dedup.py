@@ -27,7 +27,11 @@ HEX = "0123456789abcdef"
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
-    return spark.read.parquet(f"{sf}/documents.parquet")
+    from ..functions.util import ensure_parallelism
+
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf}/documents.parquet")
+    )
 
 
 def shingles_col(toks: Column, n: int = 2) -> Column:

@@ -13,7 +13,11 @@ BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
-    return spark.read.parquet(f"{sf}/documents.parquet")
+    from ..functions.util import ensure_parallelism
+
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf}/documents.parquet")
+    )
 
 
 def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
