@@ -10,6 +10,8 @@ def ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     use. A single small parquet file arrives as ONE split, serializing every
     downstream narrow stage; at production scale inputs are already split by
     spark.sql.files.maxPartitionBytes and this is a no-op."""
+    if df.isStreaming:
+        return df  # micro-batch sizing is the stream trigger's job
     target = df.sparkSession.sparkContext.defaultParallelism * factor
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

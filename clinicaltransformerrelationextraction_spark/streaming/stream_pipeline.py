@@ -1,0 +1,95 @@
+"""Structured-Streaming incremental pipeline: Trigger.AvailableNow over a
+pages/documents directory with a checkpointLocation.
+
+The reference has no streaming (SURVEY.md §2.9) — its closest analog is the
+serial batch_* directory loop. This module is the alternative resume story
+to plans/ledger.py: Spark's own checkpoint tracks which input files are
+done, so re-running the job processes only new files.
+
+The whole batch pipeline (candidate gen HOFs + mapInPandas scoring + NonRel
+filter) is stream-compatible — only the per-doc window (R-numbering) is not
+allowed on streams, so triples are emitted un-numbered here and can be
+numbered at read time if needed (rel ordering key (sent_diff, i1, i2) is
+carried).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..operators.candidates import candidates
+from ..operators.scoring import score_candidates
+
+
+def stream_triples(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+    schema=None,
+) -> None:
+    """Process all currently-available parquet files in ``input_dir`` into
+    triple parquet in ``output_dir``, exactly once per input file across
+    re-runs (checkpointed). Returns after the AvailableNow batch drains."""
+    cfg = cfg or PipelineConfig()
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    cand = candidates(stream, cfg)
+    scored = score_candidates(cand, cfg)
+    trip = scored.filter(F.col("pred_label") != cfg.non_rel).select(
+        "doc_id",
+        F.col("pred_label").alias("pred"),
+        F.col("ent_id_1").alias("subj_id"),
+        F.col("ent_id_2").alias("obj_id"),
+        "score", "sent_diff", "i1", "i2",
+    )
+    q = (
+        trip.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> None:
+    """Windowed streaming aggregation with watermark over an events parquet
+    DIRECTORY (readStream requires a directory source): 1-hour tumbling
+    windows per event_type with 2h late-data tolerance."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    # parquet stores TIMESTAMP_NTZ; watermarks need instant-typed TIMESTAMP
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
