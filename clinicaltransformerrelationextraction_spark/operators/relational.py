@@ -27,20 +27,24 @@ def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
+            # exact decimal sums, then ONE deterministic double conversion —
+            # avoids engine-specific result-decimal precision in the schema
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias(
+                "sum_qty"
+            ),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias(
+                "sum_base_price"
+            ),
             F.sum(
                 (F.col("l_extendedprice").cast(DEC)
                  * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
                 .cast("decimal(30,4)")
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
         .withColumn(
             "avg_qty",
-            F.round(
-                F.col("sum_qty").cast("double") / F.col("count_order"), 6
-            ),
+            F.round(F.col("sum_qty") / F.col("count_order"), 6),
         )
     )
 
@@ -137,7 +141,9 @@ def q_revenue_by_region(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
         .agg(
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias(
+                "revenue"
+            ),
             F.count("*").alias("n_orders"),
         )
     )
@@ -220,7 +226,9 @@ def q_lineitem_cube(spark: SparkSession, sf: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias(
+                "sum_qty"
+            ),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -283,5 +291,6 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("pn"),
     )
     return partial.groupBy("l_returnflag").agg(
-        F.sum("ps").alias("sum_qty"), F.sum("pn").alias("n")
+        F.sum("ps").cast("double").alias("sum_qty"),
+        F.sum("pn").alias("n"),
     )

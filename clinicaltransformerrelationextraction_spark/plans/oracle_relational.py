@@ -8,10 +8,10 @@ from __future__ import annotations
 def q_tpch_q1() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
-  sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
-  sum(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
+  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
   sum((l_extendedprice::DECIMAL(18,2)
-       * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(30,4))
+       * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(30,4))::DOUBLE
     AS sum_disc_price,
   count(*)::BIGINT AS count_order,
   round(sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_qty
@@ -80,7 +80,7 @@ WHERE c_mktsegment = 'BUILDING'
 def q_revenue_by_region() -> str:
     return """
 SELECT r_name AS region,
-  sum(o_totalprice::DECIMAL(18,2)) AS revenue,
+  sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue,
   count(*)::BIGINT AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -138,7 +138,7 @@ def q_lineitem_cube() -> str:
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        count(*)::BIGINT AS n,
-       sum(l_quantity::DECIMAL(18,2)) AS sum_qty
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -174,7 +174,7 @@ FROM events GROUP BY 1
 
 def q_salted_agg() -> str:
     return """
-SELECT l_returnflag, sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
+SELECT l_returnflag, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
        count(*)::BIGINT AS n
 FROM lineitem GROUP BY l_returnflag
 """
