@@ -29,7 +29,10 @@ from pyspark.sql import functions as F
 from ..config import PipelineConfig
 from ..functions.util import ensure_parallelism
 
-__all__ = ["tokens_col", "mentions_col", "pairs_col", "candidates"]
+__all__ = [
+    "tokens_col", "mentions_col", "pairs_col", "candidates",
+    "candidate_cap_stats",
+]
 
 
 def tokens_col(text: Column) -> Column:
@@ -110,6 +113,34 @@ def _marked(
             ).otherwise(x),
         ),
         " ",
+    )
+
+
+def candidate_cap_stats(
+    df: DataFrame, cfg: PipelineConfig | None = None, doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """No silent truncation (SURVEY.md §7.4.4): one row of corpus-level cap
+    accounting — docs over the per-doc pair cap and total pairs dropped.
+    Cheap (counts only, no strings built); run it alongside any capped
+    pipeline and persist the row with the run's lineage."""
+    cfg = cfg or PipelineConfig()
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(doc_col).alias("doc_id"), toks.alias("toks"))
+    n_pairs = F.size(pairs_col(cfg, mentions_col(cfg, F.col("toks"))))
+    cap = cfg.max_pairs_per_doc or 0
+    per_doc = base.select(
+        "doc_id",
+        n_pairs.alias("n_pairs"),
+        F.greatest(n_pairs - cap, F.lit(0)).alias("n_dropped"),
+    )
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_pairs").alias("n_pairs_total"),
+        F.sum(F.when(F.col("n_dropped") > 0, 1).otherwise(0)).alias(
+            "n_docs_capped"
+        ),
+        F.sum("n_dropped").alias("n_pairs_dropped"),
     )
 
 

@@ -1,0 +1,79 @@
+"""Scale features: salting equivalence, candidate-cap accounting, MLlib
+MinHashLSH canonicalization, alias linking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clinicaltransformerrelationextraction_spark.config import PipelineConfig
+from clinicaltransformerrelationextraction_spark.operators.candidates import (
+    candidate_cap_stats,
+    candidates,
+)
+from clinicaltransformerrelationextraction_spark.operators.linking import (
+    alias_link,
+    canonical_clusters_mllib,
+)
+from clinicaltransformerrelationextraction_spark.plans.pipeline import (
+    load_documents,
+    run_pipeline,
+)
+from tests.conftest import SF_SMOKE
+
+KEY = ["doc_id", "rel_id", "subj_id", "obj_id", "pred"]
+
+
+def test_salted_pipeline_equivalence(spark):
+    """Salted repartition before scoring must not change a single triple."""
+    docs = load_documents(spark, SF_SMOKE)
+    plain = run_pipeline(docs, PipelineConfig(), salt=False).triples
+    salted = run_pipeline(docs, PipelineConfig(), salt=True).triples
+    assert plain.count() == salted.count()
+    assert (
+        plain.select(*KEY).exceptAll(salted.select(*KEY)).count() == 0
+    )
+
+
+def test_candidate_cap_accounting(spark):
+    docs = load_documents(spark, SF_SMOKE)
+    # uncapped accounting: nothing dropped, totals match actual candidates
+    cfg = PipelineConfig(max_pairs_per_doc=10_000)
+    stats = candidate_cap_stats(docs, cfg).collect()[0]
+    assert stats.n_pairs_dropped == 0 and stats.n_docs_capped == 0
+    assert stats.n_pairs_total == candidates(docs, cfg).count()
+
+    # tight cap: dropped count exactly accounts for the reduction
+    tight = PipelineConfig(max_pairs_per_doc=5)
+    tstats = candidate_cap_stats(docs, tight).collect()[0]
+    kept = candidates(docs, tight).count()
+    assert tstats.n_pairs_total - tstats.n_pairs_dropped == kept
+    assert tstats.n_docs_capped > 0
+
+
+def test_alias_link_broadcast(spark):
+    surf = spark.createDataFrame(
+        [("Spark",), ("HASH",), ("unknown_word",)], ["surface"]
+    )
+    aliases = spark.createDataFrame(
+        [("spark", "E_drug_spark"), ("hash", "E_drug_hash")],
+        ["surface_norm", "canonical_id"],
+    )
+    out = {r.surface: r.canonical_id for r in alias_link(
+        surf, aliases, "surface").collect()}
+    assert out["Spark"] == "E_drug_spark"
+    assert out["HASH"] == "E_drug_hash"
+    assert out["unknown_word"] == "E_unknown_word"  # deterministic fallback
+
+
+def test_mllib_minhash_canonicalization(spark):
+    surfaces = spark.createDataFrame(
+        [("penicillin",), ("penicilin",), ("penicillin vk",),
+         ("warfarin",), ("aspirin",), ("asprin",)],
+        ["surface"],
+    )
+    pairs = canonical_clusters_mllib(surfaces, jaccard_max=0.75).collect()
+    got = {(r.surface_a, r.surface_b) for r in pairs}
+    assert ("penicilin", "penicillin") in got
+    assert ("aspirin", "asprin") in got
+    # dissimilar surfaces must not merge
+    assert not any("warfarin" in p and "aspirin" in p for p in got)
