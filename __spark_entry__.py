@@ -36,6 +36,7 @@ from clinicaltransformerrelationextraction_spark.operators.segmentation import (
 )
 from clinicaltransformerrelationextraction_spark.operators import (
     dedup,
+    evalqueries,
     multimodal,
     relational,
     similarity,
@@ -43,6 +44,7 @@ from clinicaltransformerrelationextraction_spark.operators import (
 )
 from clinicaltransformerrelationextraction_spark.plans import (
     oracle,
+    oracle_eval,
     oracle_relational,
     oracle_training,
 )
@@ -157,12 +159,41 @@ _REL_QUERIES, _REL_SQL = _module_queries(relational, oracle_relational)
 _TRAIN_QUERIES, _TRAIN_SQL = _module_queries(
     [dedup, textstats, similarity, multimodal], oracle_training
 )
+_EVAL_QUERIES, _EVAL_SQL = _module_queries(evalqueries, oracle_eval)
+
+
+# --- pandas-UDF operators: queries() entries WITHOUT an oracle (the driver
+# records a weaker rows-only check — these are not ANSI-SQL-expressible) ----
+
+def _q_segment_pages_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    from clinicaltransformerrelationextraction_spark.operators.segmentation import (
+        segment_pages_udf,
+    )
+    from clinicaltransformerrelationextraction_spark.plans.pipeline import (
+        documents_as_pages,
+    )
+
+    return segment_pages_udf(
+        documents_as_pages(load_documents(spark, sf)), CFG
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    from clinicaltransformerrelationextraction_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    return extract_features(documents_as_media(spark, sf))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         **_REL_QUERIES,
         **_TRAIN_QUERIES,
+        **_EVAL_QUERIES,
+        "q_segment_pages_pandas": _q_segment_pages_pandas,
+        "q_multimodal_features": _q_multimodal_features,
         "q_sentences": _q_sentences,
         "q_mentions": _q_mentions,
         "q_candidates": _q_candidates,
@@ -179,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_REL_SQL,
         **_TRAIN_SQL,
+        **_EVAL_SQL,
         "q_sentences": oracle.q_sentences(),
         "q_mentions": oracle.q_mentions(),
         "q_candidates": oracle.q_candidates(),

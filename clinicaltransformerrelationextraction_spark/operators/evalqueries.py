@@ -1,0 +1,138 @@
+"""Oracle-checked queries for the evaluation engine (SURVEY.md §2.3 J7, §2.4
+A5): strict/lenient span matching and micro/macro P/R/F1 rollups.
+
+The "system" annotation set is derived deterministically from the gold
+mentions (every 3rd mention's span is shifted right by 2 chars, every 5th is
+dropped, and a spurious mention is added per doc with >= 4 mentions) so the
+evaluator sees true positives, boundary mismatches, misses, and false
+positives — all reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from .segmentation import mentions
+
+SHIFT_MOD = 3  # every 3rd mention: span shifted +2 (lenient-only match)
+DROP_MOD = 5  # every 5th mention: dropped from system (false negative)
+SPURIOUS_MIN = 4  # docs with >= this many mentions get one spurious system row
+
+
+def _gold(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return mentions(docs, PipelineConfig())
+
+
+def _system(spark: SparkSession, sf: str) -> DataFrame:
+    g = _gold(spark, sf)
+    kept = g.filter(F.col("tok_idx") % DROP_MOD != 0).select(
+        "doc_id",
+        "ent_type",
+        F.when(
+            F.col("tok_idx") % SHIFT_MOD == 0, F.col("start") + 2
+        ).otherwise(F.col("start")).alias("start"),
+        F.when(
+            F.col("tok_idx") % SHIFT_MOD == 0, F.col("end") + 2
+        ).otherwise(F.col("end")).alias("end"),
+    )
+    spurious = (
+        g.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.max("end").alias("maxe"))
+        .filter(F.col("n") >= SPURIOUS_MIN)
+        .select(
+            "doc_id",
+            F.lit("Drug").alias("ent_type"),
+            (F.col("maxe") + 10).cast("long").alias("start"),
+            (F.col("maxe") + 15).cast("long").alias("end"),
+        )
+    )
+    return kept.unionByName(spurious)
+
+
+def q_span_eval_strict(spark: SparkSession, sf: str) -> DataFrame:
+    """Strict span evaluation (brat_eval.py:41-44): exact
+    (doc, start, end, type) equality; corpus-level tp/fp/fn + micro P/R/F1."""
+    g = _gold(spark, sf).select("doc_id", "ent_type", "start", "end")
+    s = _system(spark, sf)
+    keys = ["doc_id", "ent_type", "start", "end"]
+    tp = g.join(s, keys, "inner")
+    return (
+        tp.agg(F.count("*").alias("tp"))
+        .crossJoin(g.agg(F.count("*").alias("n_gold")))
+        .crossJoin(s.agg(F.count("*").alias("n_sys")))
+        .select(
+            "tp",
+            (F.col("n_sys") - F.col("tp")).alias("fp"),
+            (F.col("n_gold") - F.col("tp")).alias("fn"),
+            F.round(F.col("tp") / F.col("n_sys"), 6).alias("precision"),
+            F.round(F.col("tp") / F.col("n_gold"), 6).alias("recall"),
+        )
+    )
+
+
+def q_span_eval_lenient(spark: SparkSession, sf: str) -> DataFrame:
+    """Lenient span evaluation (brat_eval.py:29-39): interval-overlap +
+    same type, deduped so each gold span matches at most one system span
+    (the reference's pare-down, :225-237) — per-doc match counts."""
+    g = _gold(spark, sf).select(
+        "doc_id", "ent_type",
+        F.col("start").alias("g_start"), F.col("end").alias("g_end"),
+    )
+    s = _system(spark, sf).select(
+        "doc_id", "ent_type",
+        F.col("start").alias("s_start"), F.col("end").alias("s_end"),
+    )
+    overlap = g.join(s, ["doc_id", "ent_type"]).filter(
+        (F.col("g_end") > F.col("s_start"))
+        & (F.col("g_start") < F.col("s_end"))
+    )
+    matched_gold = overlap.select(
+        "doc_id", "ent_type", "g_start", "g_end"
+    ).distinct()
+    return (
+        matched_gold.groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+
+
+def q_macro_prf(spark: SparkSession, sf: str) -> DataFrame:
+    """Macro-averaged strict-span P/R over docs (brat_eval.py:310-357:
+    micro sums tp/fp/fn, macro averages per-doc metrics). Averages are
+    exact: per-doc P/R quantized to integer micros, summed as bigints,
+    divided once."""
+    g = _gold(spark, sf).select("doc_id", "ent_type", "start", "end")
+    s = _system(spark, sf)
+    keys = ["doc_id", "ent_type", "start", "end"]
+    per_doc = (
+        g.groupBy("doc_id").agg(F.count("*").alias("n_gold"))
+        .join(
+            s.groupBy("doc_id").agg(F.count("*").alias("n_sys")),
+            "doc_id", "full",
+        )
+        .join(
+            g.join(s, keys, "inner").groupBy("doc_id").agg(
+                F.count("*").alias("tp")
+            ),
+            "doc_id", "full",
+        )
+        .fillna(0, ["n_gold", "n_sys", "tp"])
+    )
+    pd_ = per_doc.select(
+        "doc_id",
+        F.when(
+            F.col("n_sys") > 0,
+            F.floor(F.col("tp") * 1000000 / F.col("n_sys")),
+        ).otherwise(0).cast("long").alias("p_micro"),
+        F.when(
+            F.col("n_gold") > 0,
+            F.floor(F.col("tp") * 1000000 / F.col("n_gold")),
+        ).otherwise(0).cast("long").alias("r_micro"),
+    )
+    return pd_.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("p_micro") / F.count("*")).alias("macro_p_micro"),
+        (F.sum("r_micro") / F.count("*")).alias("macro_r_micro"),
+    )

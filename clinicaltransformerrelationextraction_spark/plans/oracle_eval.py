@@ -1,0 +1,101 @@
+"""DuckDB oracle SQL for the evaluation-engine queries
+(operators/evalqueries.py)."""
+
+from __future__ import annotations
+
+from ..operators.evalqueries import DROP_MOD, SHIFT_MOD, SPURIOUS_MIN
+from .oracle import MEN_CTE, TOKS_CTE
+
+_GOLD = f"""
+WITH {TOKS_CTE.strip()}, {MEN_CTE.strip()},
+offs AS (
+  SELECT doc_id, i, tok,
+    coalesce(sum(length(tok) + 1) OVER (
+      PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+  FROM toks
+),
+gold AS (
+  SELECT m.doc_id, m.ent_type, m.i AS tok_idx, o.start,
+         (o.start + length(m.tok))::BIGINT AS "end"
+  FROM men m JOIN offs o ON o.doc_id = m.doc_id AND o.i = m.i
+),
+sys AS (
+  SELECT doc_id, ent_type,
+    CASE WHEN tok_idx % {SHIFT_MOD} = 0 THEN start + 2 ELSE start END AS start,
+    CASE WHEN tok_idx % {SHIFT_MOD} = 0 THEN "end" + 2 ELSE "end" END AS "end"
+  FROM gold WHERE tok_idx % {DROP_MOD} <> 0
+  UNION ALL
+  SELECT doc_id, 'Drug' AS ent_type,
+         (maxe + 10)::BIGINT AS start, (maxe + 15)::BIGINT AS "end"
+  FROM (SELECT doc_id, count(*) AS n, max("end") AS maxe
+        FROM gold GROUP BY doc_id)
+  WHERE n >= {SPURIOUS_MIN}
+)"""
+
+
+def q_span_eval_strict() -> str:
+    return f"""{_GOLD},
+tp AS (
+  SELECT count(*)::BIGINT AS tp
+  FROM gold g JOIN sys s
+    ON g.doc_id = s.doc_id AND g.ent_type = s.ent_type
+   AND g.start = s.start AND g."end" = s."end"
+),
+tot AS (
+  SELECT (SELECT count(*) FROM gold)::BIGINT AS n_gold,
+         (SELECT count(*) FROM sys)::BIGINT AS n_sys
+)
+SELECT tp,
+  (n_sys - tp)::BIGINT AS fp,
+  (n_gold - tp)::BIGINT AS fn,
+  round(tp / n_sys, 6) AS precision,
+  round(tp / n_gold, 6) AS recall
+FROM tp, tot
+"""
+
+
+def q_span_eval_lenient() -> str:
+    return f"""{_GOLD},
+overlap AS (
+  SELECT DISTINCT g.doc_id, g.ent_type, g.start AS g_start, g."end" AS g_end
+  FROM gold g JOIN sys s
+    ON g.doc_id = s.doc_id AND g.ent_type = s.ent_type
+   AND g."end" > s.start AND g.start < s."end"
+)
+SELECT doc_id, count(*)::BIGINT AS n_matched
+FROM overlap GROUP BY doc_id
+"""
+
+
+def q_macro_prf() -> str:
+    return f"""{_GOLD},
+gc AS (SELECT doc_id, count(*)::BIGINT AS n_gold FROM gold GROUP BY doc_id),
+sc AS (SELECT doc_id, count(*)::BIGINT AS n_sys FROM sys GROUP BY doc_id),
+tpc AS (
+  SELECT g.doc_id, count(*)::BIGINT AS tp
+  FROM gold g JOIN sys s
+    ON g.doc_id = s.doc_id AND g.ent_type = s.ent_type
+   AND g.start = s.start AND g."end" = s."end"
+  GROUP BY g.doc_id
+),
+per_doc AS (
+  SELECT coalesce(gc.doc_id, sc.doc_id, tpc.doc_id) AS doc_id,
+    coalesce(n_gold, 0) AS n_gold, coalesce(n_sys, 0) AS n_sys,
+    coalesce(tp, 0) AS tp
+  FROM gc FULL JOIN sc ON gc.doc_id = sc.doc_id
+  FULL JOIN tpc ON coalesce(gc.doc_id, sc.doc_id) = tpc.doc_id
+),
+pdm AS (
+  SELECT doc_id,
+    CASE WHEN n_sys > 0 THEN floor(tp * 1000000 / n_sys) ELSE 0 END::BIGINT
+      AS p_micro,
+    CASE WHEN n_gold > 0 THEN floor(tp * 1000000 / n_gold) ELSE 0 END::BIGINT
+      AS r_micro
+  FROM per_doc
+)
+SELECT count(*)::BIGINT AS n_docs,
+  sum(p_micro) / count(*) AS macro_p_micro,
+  sum(r_micro) / count(*) AS macro_r_micro
+FROM pdm
+"""
