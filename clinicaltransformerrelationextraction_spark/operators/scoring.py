@@ -104,6 +104,53 @@ def _make_stub_scorer(labels: list[str]) -> Callable[[pd.DataFrame], tuple[np.nd
     return scorer
 
 
+FEAT_DIM = 512
+HIDDEN_DIM = 256
+
+
+def _make_mlp_scorer(labels: list[str]):
+    """Compute-realistic deterministic backend: hashed bag-of-token features
+    of both marked sentences (the scheme-2 idea — entity-marker context
+    concatenated, src/models.py:51-52) through a seeded 2-layer MLP, batched
+    numpy matmuls. Weights are built ONCE per executor worker (the
+    executor-local model cache that replaces the reference's per-process
+    model load). Not oracle-checkable (float matmuls) — used for
+    throughput realism; 'stub' is the parity backend."""
+    import zlib
+
+    n = len(labels)
+    rng = np.random.default_rng(13)
+    w1 = rng.standard_normal((FEAT_DIM, HIDDEN_DIM)) / np.sqrt(FEAT_DIM)
+    w2 = rng.standard_normal((HIDDEN_DIM, n)) / np.sqrt(HIDDEN_DIM)
+    tok_idx_cache: dict[str, int] = {}
+
+    def feat_index(tok: str) -> int:
+        h = tok_idx_cache.get(tok)
+        if h is None:
+            h = zlib.crc32(tok.encode()) % (FEAT_DIM // 2)
+            tok_idx_cache[tok] = h
+        return h
+
+    def scorer(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        x = np.zeros((len(pdf), FEAT_DIM), dtype=np.float64)
+        half = FEAT_DIM // 2
+        for r, (s1, s2) in enumerate(
+            zip(pdf["s1_marked"].to_numpy(), pdf["s2_marked"].to_numpy())
+        ):
+            for t in s1.split(" "):
+                x[r, feat_index(t)] += 1.0
+            for t in s2.split(" "):
+                x[r, half + feat_index(t)] += 1.0
+        h = np.tanh(x @ w1)
+        logits = h @ w2
+        idx = logits.argmax(axis=1)
+        ex = np.exp(logits - logits.max(axis=1, keepdims=True))
+        probs = ex / ex.sum(axis=1, keepdims=True)
+        return idx, probs[np.arange(len(idx)), idx]
+
+    return scorer
+
+
 def _make_hf_scorer(cfg: PipelineConfig):  # pragma: no cover - env-gated
     try:
         import torch  # noqa: F401
@@ -164,8 +211,12 @@ def score_candidates(cand: DataFrame, cfg: PipelineConfig | None = None) -> Data
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        scorer = (_make_stub_scorer(labels) if backend == "stub"
-                  else _make_hf_scorer(cfg))
+        if backend == "stub":
+            scorer = _make_stub_scorer(labels)
+        elif backend == "mlp":
+            scorer = _make_mlp_scorer(labels)
+        else:
+            scorer = _make_hf_scorer(cfg)
         for pdf in batches:
             if len(pdf) == 0:
                 continue

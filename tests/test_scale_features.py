@@ -50,6 +50,39 @@ def test_candidate_cap_accounting(spark):
     assert tstats.n_docs_capped > 0
 
 
+def test_mlp_scorer_backend(spark):
+    """The compute-realistic MLP backend shares all plumbing with the stub:
+    same schema, deterministic, valid labels, probability scores."""
+    from clinicaltransformerrelationextraction_spark.config import LABELS
+    from clinicaltransformerrelationextraction_spark.operators.scoring import (
+        score_candidates,
+    )
+
+    docs = load_documents(spark, SF_SMOKE).limit(100)
+    cfg = PipelineConfig(scorer="mlp")
+    scored = score_candidates(candidates(docs, cfg), cfg)
+    rows = scored.collect()
+    assert rows and all(r.pred_label in LABELS for r in rows)
+    assert all(0.0 < r.score <= 1.0 for r in rows)
+    rows2 = score_candidates(candidates(docs, cfg), cfg).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, rows2))
+
+
+def test_hf_scorer_gated(spark):
+    """The production HF backend raises the documented NotImplementedError
+    in this container (transformers absent) — through the Spark surface."""
+    import pytest
+
+    from clinicaltransformerrelationextraction_spark.operators.scoring import (
+        score_candidates,
+    )
+
+    docs = load_documents(spark, SF_SMOKE).limit(5)
+    cfg = PipelineConfig(scorer="hf")
+    with pytest.raises(Exception, match="transformers|NotImplemented"):
+        score_candidates(candidates(docs, cfg), cfg).collect()
+
+
 def test_alias_link_broadcast(spark):
     surf = spark.createDataFrame(
         [("Spark",), ("HASH",), ("unknown_word",)], ["surface"]
