@@ -278,6 +278,77 @@ def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + filter + grouped agg + top-k by
+    revenue — the classic join-reorder/pushdown plan-quality probe."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast(DEC)
+                 * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+                .cast("decimal(30,4)")
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join through two dimension chains with
+    broadcast dims, grouped by region-level key."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast(DEC)
+                 * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+                .cast("decimal(30,4)")
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+def q_big_spenders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: agg subquery as a semi-filter (HAVING over a
+    grouped sum), then join back for detail."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    big = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("total"))
+        .filter(F.col("total") > 1_500_000)
+    )
+    return (
+        big.join(c, big.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name",
+            F.col("total").cast("double").alias("total_spent"),
+        )
+    )
+
+
 def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-safe two-phase aggregation (north rule): salt the hot key space,
     partial-aggregate per (key, salt), then merge. Result is identical to a

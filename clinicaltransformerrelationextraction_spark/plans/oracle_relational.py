@@ -172,6 +172,52 @@ FROM events GROUP BY 1
 """
 
 
+def q_tpch_q3() -> str:
+    return """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  sum((l_extendedprice::DECIMAL(18,2)
+       * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(30,4))::DOUBLE
+    AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_tpch_q5() -> str:
+    return """
+SELECT n_name AS nation,
+  sum((l_extendedprice::DECIMAL(18,2)
+       * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(30,4))::DOUBLE
+    AS revenue,
+  count(*)::BIGINT AS n_lineitems
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_big_spenders() -> str:
+    return """
+SELECT c_custkey, c_name, total::DOUBLE AS total_spent
+FROM (
+  SELECT o_custkey, sum(o_totalprice::DECIMAL(18,2)) AS total
+  FROM orders GROUP BY o_custkey
+  HAVING sum(o_totalprice::DECIMAL(18,2)) > 1500000
+) b JOIN customer ON b.o_custkey = c_custkey
+"""
+
+
 def q_salted_agg() -> str:
     return """
 SELECT l_returnflag, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
