@@ -31,6 +31,8 @@ HEADLINE = [
     "q_simhash",          # per-doc simhash
     "q_ann_topk",         # brute-force cosine top-k
     "q_token_stats",      # text stats scan
+    "q_tpch_q3",          # 3-way join + top-k
+    "q_tpch_q5",          # 5-way join with broadcast dims
 ]
 
 

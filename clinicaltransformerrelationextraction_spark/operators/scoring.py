@@ -134,12 +134,18 @@ def _make_mlp_scorer(labels: list[str]):
     def scorer(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         x = np.zeros((len(pdf), FEAT_DIM), dtype=np.float64)
         half = FEAT_DIM // 2
+        budget = 512 - 3  # max_seq_len minus special tokens (U2 contract)
         for r, (s1, s2) in enumerate(
             zip(pdf["s1_marked"].to_numpy(), pdf["s2_marked"].to_numpy())
         ):
-            for t in s1.split(" "):
+            ta, tb = s1.split(" "), s2.split(" ")
+            if len(ta) + len(tb) > budget:
+                # entity-centered truncation, the reference's
+                # _process_seq_len semantics (rare: only huge windows)
+                ta, tb = truncate_pair(ta, tb, budget)
+            for t in ta:
                 x[r, feat_index(t)] += 1.0
-            for t in s2.split(" "):
+            for t in tb:
                 x[r, half + feat_index(t)] += 1.0
         h = np.tanh(x @ w1)
         logits = h @ w2
