@@ -70,11 +70,43 @@ def mentions_col(cfg: PipelineConfig, toks: Column) -> Column:
     )
 
 
+def pairs_col_indexed(cfg: PipelineConfig, mentions: Column,
+                      n_sent: Column) -> Column:
+    """Output-linear in-row pair generation: bucket arg2 (Drug) mentions by
+    sentence window FIRST, then enumerate each arg1 mention only against
+    the drugs actually inside its window. Work per doc is
+    O(n_sent·n_drugs + n_pairs) instead of the naive O(M²) cross product —
+    the in-row analog of an index nested-loop join. Same kept-pair order as
+    ``pairs_col`` ((i1 asc, i2 asc)), verified byte-identical in tests."""
+    arg1_types = [t1 for t1, _ in cfg.valid_combs]
+    arg2_types = sorted({t2 for _, t2 in cfg.valid_combs})
+    m1s = F.filter(mentions, lambda m: m["ent_type"].isin(*arg1_types))
+    m2s = F.filter(mentions, lambda m: m["ent_type"].isin(*arg2_types))
+    # drugs_by_win[s+1] = arg2 mentions within cutoff of sentence s
+    drugs_by_win = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_sent - 1, F.lit(0)).cast("int")),
+        lambda s: F.filter(
+            m2s, lambda d: F.abs(d["sent_id"] - s) <= cfg.cutoff
+        ),
+    )
+    crossed = F.flatten(
+        F.transform(
+            m1s,
+            lambda m1: F.transform(
+                F.element_at(drugs_by_win, m1["sent_id"] + 1),
+                lambda m2: F.struct(m1.alias("a"), m2.alias("b")),
+            ),
+        )
+    )
+    return F.filter(crossed, lambda p: p["a"]["i"] != p["b"]["i"])
+
+
 def pairs_col(cfg: PipelineConfig, mentions: Column) -> Column:
     """Ordered candidate pairs (m1=arg1 non-Drug, m2=arg2 Drug) within the
     sentence-distance cutoff. In-row cross product + predicate pushup; the
     reference's F3 (valid combos), F4 (distance) and J1 (permutations).
-    """
+    Superseded by ``pairs_col_indexed`` (output-linear); kept as the naive
+    reference form for the equality tests."""
     arg1_types = [t1 for t1, _ in cfg.valid_combs]
     arg2_types = sorted({t2 for _, t2 in cfg.valid_combs})
 
@@ -144,22 +176,123 @@ def candidate_cap_stats(
     )
 
 
-def candidates(
+def candidates_relational(
     df: DataFrame, cfg: PipelineConfig | None = None, doc_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """documents(doc_id, text, ...) -> candidates DataFrame.
+    """The NAIVE relational formulation of candidate generation — mentions
+    exploded to rows, self-joined on the doc key, joined back to tokens for
+    marker strings. Produces byte-identical output to ``candidates`` (tested)
+    but shuffles the mention table twice and aggregates per pair; kept as
+    the measured counter-example for BENCH.md (the in-row HOF form is the
+    product path)."""
+    from pyspark.sql import Window
 
-    Output columns mirror the reference's 8-column TSV contract
-    (readme.md:35-43) plus the explicit content key (doc_id, i1, i2) that
-    replaces positional prediction alignment (SURVEY.md §2.3 J3):
+    cfg = cfg or PipelineConfig()
+    toks = tokens_col(F.col(text_col))
+    base = ensure_parallelism(
+        df.select(F.col(doc_col).alias("doc_id"), toks.alias("toks"))
+    )
+    tok_rows = base.select(
+        "doc_id",
+        F.size("toks").alias("ntok"),
+        F.posexplode("toks").alias("pos", "tok"),
+    ).select(
+        "doc_id", "ntok", (F.col("pos") + 1).cast("int").alias("i"), "tok"
+    )
+    vocab = F.create_map(*[F.lit(x) for kv in cfg.ent_vocab.items() for x in kv])
+    men = (
+        tok_rows.withColumn("ent_type", vocab[F.col("tok")])
+        .filter(F.col("ent_type").isNotNull())
+        .withColumn(
+            "sent_id", F.floor((F.col("i") - 1) / cfg.sent_len).cast("int")
+        )
+    )
+    arg1_types = [t1 for t1, _ in cfg.valid_combs]
+    arg2_types = sorted({t2 for _, t2 in cfg.valid_combs})
+    m1 = men.filter(F.col("ent_type").isin(*arg1_types)).select(
+        "doc_id", "ntok", F.col("i").alias("i1"),
+        F.col("ent_type").alias("ent_type_1"),
+        F.col("sent_id").alias("s1"),
+    )
+    m2 = men.filter(F.col("ent_type").isin(*arg2_types)).select(
+        "doc_id", F.col("i").alias("i2"),
+        F.col("ent_type").alias("ent_type_2"),
+        F.col("sent_id").alias("s2"),
+    )
+    pairs = m1.join(m2, "doc_id").filter(
+        (F.col("i1") != F.col("i2"))
+        & (F.abs(F.col("s1") - F.col("s2")) <= cfg.cutoff)
+    )
+    lo = F.least("s1", "s2")
+    hi = F.greatest("s1", "s2")
+    pairs = pairs.select(
+        "doc_id", "i1", "i2", "ent_type_1", "ent_type_2",
+        F.abs(F.col("s1") - F.col("s2")).cast("int").alias("sent_diff"),
+        (lo * cfg.sent_len + 1).cast("int").alias("wst"),
+        F.least(F.col("ntok"), ((hi + 1) * cfg.sent_len).cast("int")).alias(
+            "wen"
+        ),
+    )
+    from ..config import S1_CLOSE, S1_OPEN, S2_CLOSE, S2_OPEN
 
-      doc_id, ent_id_1, ent_id_2, ent_type_1, ent_type_2,
-      s1_marked, s2_marked, sent_diff, i1, i2
+    win_toks = pairs.join(
+        tok_rows.select("doc_id", "i", "tok"), "doc_id"
+    ).filter(F.col("i").between(F.col("wst"), F.col("wen")))
+    marked = win_toks.groupBy(
+        "doc_id", "i1", "i2", "ent_type_1", "ent_type_2", "sent_diff"
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "tok"))
+                ),
+                lambda s: F.when(
+                    s["i"] == F.col("i1"),
+                    F.concat(
+                        F.lit(S1_OPEN + " "), s["tok"], F.lit(" " + S1_CLOSE)
+                    ),
+                ).otherwise(s["tok"]),
+            ),
+            " ",
+        ).alias("s1_marked"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "tok"))
+                ),
+                lambda s: F.when(
+                    s["i"] == F.col("i2"),
+                    F.concat(
+                        F.lit(S2_OPEN + " "), s["tok"], F.lit(" " + S2_CLOSE)
+                    ),
+                ).otherwise(s["tok"]),
+            ),
+            " ",
+        ).alias("s2_marked"),
+    )
+    return marked.select(
+        "doc_id",
+        F.concat(F.lit("T"), F.col("i1")).alias("ent_id_1"),
+        F.concat(F.lit("T"), F.col("i2")).alias("ent_id_2"),
+        "ent_type_1", "ent_type_2", "s1_marked", "s2_marked",
+        "sent_diff", "i1", "i2",
+    )
 
-    Zero-shuffle plan: project -> per-row HOFs -> explode. The per-doc pair
-    cap (``max_pairs_per_doc``) bounds the quadratic blow-up of huge pages;
-    capped pairs are deterministic (array order = ordered permutation order).
+
+def candidates_inrow(
+    df: DataFrame, cfg: PipelineConfig | None = None, doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fully in-row (zero-shuffle) candidate generation: per-row nested
+    HOF cross product -> explode. Byte-identical output to ``candidates``.
+
+    MEASURED trade-off (BENCH.md): zero shuffle, but Catalyst higher-order
+    functions are interpreted (not whole-stage-codegen'd), so the per-row
+    O(M²) cross product dominates when docs carry many mentions — 21×
+    slower than the join form on 600-token mention-heavy docs. Kept for
+    mention-sparse corpora and as the measured counter-example; the hybrid
+    ``candidates`` is the product path.
     """
     cfg = cfg or PipelineConfig()
     toks = tokens_col(F.col(text_col))
@@ -202,3 +335,211 @@ def candidates(
         a_i.cast("int").alias("i1"),
         b_i.cast("int").alias("i2"),
     )
+
+
+def candidates_indexed(
+    df: DataFrame, cfg: PipelineConfig | None = None, doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zero-shuffle, output-linear candidate generation (product path):
+    bucket arg2 (Drug) mentions by sentence window, then enumerate each
+    arg1 mention only against the drugs actually inside its window — the
+    in-row analog of an index nested-loop join. Per-doc work is
+    O(n_sent*n_drugs + n_pairs) instead of O(M^2). Stream-compatible; the
+    cap is an in-row slice.
+
+    CRITICAL plan detail: Catalyst re-evaluates an inner array expression
+    embedded in a lambda once PER OUTER ELEMENT — only bound attributes are
+    safe to reference inside lambdas. The ``explode(array(struct(...)))``
+    stage below is a deliberate Generate barrier that materializes the
+    mention index (m1s + drugs_by_win) exactly once per document before the
+    pair enumeration references it. Without it this operator is ~100x
+    slower on mention-heavy docs (measured; see BENCH.md)."""
+    cfg = cfg or PipelineConfig()
+    arg1_types = [t1 for t1, _ in cfg.valid_combs]
+    arg2_types = sorted({t2 for _, t2 in cfg.valid_combs})
+
+    toks = tokens_col(F.col(text_col))
+    base = ensure_parallelism(
+        df.select(F.col(doc_col).alias("doc_id"), toks.alias("toks"))
+    )
+    men = F.col("men")
+    m1s = F.filter(men, lambda m: m["ent_type"].isin(*arg1_types))
+    m2s = F.filter(men, lambda m: m["ent_type"].isin(*arg2_types))
+    n_sent = F.ceil(F.size("toks") / F.lit(cfg.sent_len)).cast("int")
+    drugs_by_win = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_sent - 1, F.lit(0))),
+        lambda s: F.filter(
+            F.col("m2s"), lambda d: F.abs(d["sent_id"] - s) <= cfg.cutoff
+        ),
+    )
+    # Generate barrier #1: materialize men -> (m1s, m2s) as attributes
+    idx1 = (
+        base.select(
+            "doc_id", "toks", mentions_col(cfg, F.col("toks")).alias("men")
+        )
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.array(F.struct(m1s.alias("m1s"), m2s.alias("m2s")))
+            ).alias("z1"),
+        )
+        .select("doc_id", "toks", "z1.m1s", "z1.m2s")
+    )
+    # Generate barrier #2: materialize the per-sentence drug index
+    idx2 = idx1.select(
+        "doc_id",
+        "toks",
+        "m1s",
+        F.explode(F.array(drugs_by_win.alias("x"))).alias("dbw"),
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("m1s"),
+                lambda m1: F.transform(
+                    F.element_at(F.col("dbw"), m1["sent_id"] + F.lit(1)),
+                    lambda m2: F.struct(m1.alias("a"), m2.alias("b")),
+                ),
+            )
+        ),
+        lambda pr: pr["a"]["i"] != pr["b"]["i"],
+    )
+    if cfg.max_pairs_per_doc:
+        pairs = F.slice(
+            pairs, 1, F.least(F.size(pairs), F.lit(cfg.max_pairs_per_doc))
+        )
+    rows = idx2.select("doc_id", "toks", F.explode(pairs).alias("p"))
+
+    a_i = F.col("p")["a"]["i"]
+    b_i = F.col("p")["b"]["i"]
+    a_s = F.col("p")["a"]["sent_id"]
+    b_s = F.col("p")["b"]["sent_id"]
+    lo = F.least(a_s, b_s)
+    hi = F.greatest(a_s, b_s)
+    wst = (lo * cfg.sent_len + 1).cast("int")
+    wen = F.least(F.size("toks"), ((hi + 1) * cfg.sent_len).cast("int"))
+    wlen = wen - wst + 1
+
+    from ..config import S1_CLOSE, S1_OPEN, S2_CLOSE, S2_OPEN
+
+    return rows.select(
+        "doc_id",
+        F.concat(F.lit("T"), a_i).alias("ent_id_1"),
+        F.concat(F.lit("T"), b_i).alias("ent_id_2"),
+        F.col("p")["a"]["ent_type"].alias("ent_type_1"),
+        F.col("p")["b"]["ent_type"].alias("ent_type_2"),
+        _marked(F.col("toks"), wst, wlen, a_i, S1_OPEN, S1_CLOSE).alias(
+            "s1_marked"
+        ),
+        _marked(F.col("toks"), wst, wlen, b_i, S2_OPEN, S2_CLOSE).alias(
+            "s2_marked"
+        ),
+        F.abs(a_s - b_s).cast("int").alias("sent_diff"),
+        a_i.cast("int").alias("i1"),
+        b_i.cast("int").alias("i2"),
+    )
+
+
+def candidates_join(
+    df: DataFrame, cfg: PipelineConfig | None = None, doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """documents(doc_id, text, ...) -> candidates DataFrame (join form).
+
+    Output columns mirror the reference's 8-column TSV contract
+    (readme.md:35-43) plus the explicit content key (doc_id, i1, i2) that
+    replaces positional prediction alignment (SURVEY.md §2.3 J3):
+
+      doc_id, ent_id_1, ent_id_2, ent_type_1, ent_type_2,
+      s1_marked, s2_marked, sent_diff, i1, i2
+
+    HYBRID plan (measured in BENCH.md against two alternatives):
+    mention detection is a linear in-row HOF; the pair cross product is a
+    relational self-join on the doc key (Tungsten, codegen) — quadratic
+    work runs in the join, not in interpreted HOF evaluation; marker
+    strings are linear in-row slice/transform over the token array joined
+    back by doc key. The per-doc cap is a row_number window that REUSES the
+    join's hash partitioning (no extra exchange). Skew: AQE skew-join
+    splits oversized docs' join partitions; the cap bounds total output.
+    """
+    from pyspark.sql import Window
+
+    cfg = cfg or PipelineConfig()
+    if df.isStreaming:
+        # streams can't run the row_number cap (non-time window); the
+        # in-row form is fully stream-compatible and micro-batches are
+        # mention-sparse, where it is equally fast
+        return candidates_inrow(df, cfg, doc_col=doc_col, text_col=text_col)
+    toks = tokens_col(F.col(text_col))
+    base = ensure_parallelism(
+        df.select(F.col(doc_col).alias("doc_id"), toks.alias("toks"))
+    )
+    men_rows = base.select(
+        "doc_id", F.explode(mentions_col(cfg, F.col("toks"))).alias("m")
+    ).select(
+        "doc_id",
+        F.col("m")["i"].alias("i"),
+        F.col("m")["ent_type"].alias("ent_type"),
+        F.col("m")["sent_id"].alias("sent_id"),
+    )
+    arg1_types = [t1 for t1, _ in cfg.valid_combs]
+    arg2_types = sorted({t2 for _, t2 in cfg.valid_combs})
+    m1 = men_rows.filter(F.col("ent_type").isin(*arg1_types)).select(
+        "doc_id", F.col("i").alias("i1"),
+        F.col("ent_type").alias("ent_type_1"), F.col("sent_id").alias("s1"),
+    )
+    m2 = men_rows.filter(F.col("ent_type").isin(*arg2_types)).select(
+        "doc_id", F.col("i").alias("i2"),
+        F.col("ent_type").alias("ent_type_2"), F.col("sent_id").alias("s2"),
+    )
+    pairs = m1.join(m2, "doc_id").filter(
+        (F.col("i1") != F.col("i2"))
+        & (F.abs(F.col("s1") - F.col("s2")) <= cfg.cutoff)
+    )
+    if cfg.max_pairs_per_doc:
+        # same kept-set as the in-row slice: first N in (i1, i2) order;
+        # window reuses the join's doc_id partitioning (sort only)
+        w = Window.partitionBy("doc_id").orderBy("i1", "i2")
+        pairs = pairs.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= cfg.max_pairs_per_doc
+        ).drop("__rn")
+
+    joined = pairs.join(base, "doc_id")
+    a_s = F.col("s1")
+    b_s = F.col("s2")
+    lo = F.least(a_s, b_s)
+    hi = F.greatest(a_s, b_s)
+    wst = (lo * cfg.sent_len + 1).cast("int")
+    wen = F.least(F.size("toks"), ((hi + 1) * cfg.sent_len).cast("int"))
+    wlen = wen - wst + 1
+
+    from ..config import S1_CLOSE, S1_OPEN, S2_CLOSE, S2_OPEN
+
+    return joined.select(
+        "doc_id",
+        F.concat(F.lit("T"), F.col("i1")).alias("ent_id_1"),
+        F.concat(F.lit("T"), F.col("i2")).alias("ent_id_2"),
+        "ent_type_1",
+        "ent_type_2",
+        _marked(F.col("toks"), wst, wlen, F.col("i1"), S1_OPEN, S1_CLOSE)
+        .alias("s1_marked"),
+        _marked(F.col("toks"), wst, wlen, F.col("i2"), S2_OPEN, S2_CLOSE)
+        .alias("s2_marked"),
+        F.abs(a_s - b_s).cast("int").alias("sent_diff"),
+        F.col("i1").cast("int").alias("i1"),
+        F.col("i2").cast("int").alias("i2"),
+    )
+
+
+def candidates(
+    df: DataFrame, cfg: PipelineConfig | None = None, doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Product path. Four formulations were built and measured (BENCH.md):
+    naive in-row cross product, relational self-join + groupBy, hybrid
+    join + in-row markers, and the indexed in-row form — the indexed form
+    wins on every corpus shape AND is the only zero-shuffle one, so it is
+    the default. The others remain importable for regression benchmarks."""
+    return candidates_indexed(df, cfg, doc_col=doc_col, text_col=text_col)

@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import LABELS, STUB_W2, STUB_W3, PipelineConfig
@@ -195,42 +196,141 @@ def _make_hf_scorer(cfg: PipelineConfig):  # pragma: no cover - env-gated
     return scorer
 
 
-def score_candidates(cand: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+def _build_scorer(cfg: PipelineConfig, labels: list[str]):
+    if cfg.scorer == "stub":
+        return _make_stub_scorer(labels)
+    if cfg.scorer == "mlp":
+        return _make_mlp_scorer(labels)
+    return _make_hf_scorer(cfg)
+
+
+def score_candidates(cand: DataFrame, cfg: PipelineConfig | None = None,
+                     keep_text: bool = False) -> DataFrame:
     """candidates -> candidates + (pred_label, label_idx, score).
 
     One ``mapInPandas`` pass; scorer constructed once per partition-task.
     Alignment with the input rows is by content key (doc_id, i1, i2) carried
     through the UDF — never positional (SURVEY.md §2.3 J3 trap).
-    """
+
+    The marked sentence strings are the scorer's INPUT only; by default they
+    are dropped from the output (they dominate the Arrow return traffic and
+    nothing downstream reads them — pass ``keep_text=True`` to retain)."""
     cfg = cfg or PipelineConfig()
     labels = list(cfg.labels)
     label_arr = np.asarray(labels, dtype=object)
-    backend = cfg.scorer
-
-    out_schema = T.StructType(
-        cand.schema.fields
-        + [
-            T.StructField("label_idx", T.IntegerType()),
-            T.StructField("pred_label", T.StringType()),
-            T.StructField("score", T.DoubleType()),
-        ]
-    )
+    text_cols = [] if keep_text else ["s1_marked", "s2_marked"]
+    out_fields = [
+        f for f in cand.schema.fields if f.name not in text_cols
+    ] + [
+        T.StructField("label_idx", T.IntegerType()),
+        T.StructField("pred_label", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+    out_schema = T.StructType(out_fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if backend == "stub":
-            scorer = _make_stub_scorer(labels)
-        elif backend == "mlp":
-            scorer = _make_mlp_scorer(labels)
-        else:
-            scorer = _make_hf_scorer(cfg)
+        scorer = _build_scorer(cfg, labels)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             idx, score = scorer(pdf)
-            pdf = pdf.copy()
-            pdf["label_idx"] = idx.astype("int32")
-            pdf["pred_label"] = label_arr[idx]
-            pdf["score"] = score
-            yield pdf
+            out = pdf.drop(columns=text_cols) if text_cols else pdf.copy()
+            out["label_idx"] = idx.astype("int32")
+            out["pred_label"] = label_arr[idx]
+            out["score"] = score
+            yield out
 
     return cand.mapInPandas(run, schema=out_schema)
+
+
+def score_filter_number(cand: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """FUSED scoring + NonRel filter + per-doc R-numbering in ONE
+    ``mapInPandas`` pass with ZERO shuffle.
+
+    Correctness requires each document's candidate rows to be contiguous
+    within one partition — guaranteed by the narrow candidate-generation
+    path (each doc's pairs come from exploding a single input row, and
+    mapInPandas preserves within-partition order). Numbering uses the
+    canonical sort (sent_diff, i1, i2) per doc, identical to the windowed
+    ``triples``; docs may span Arrow batch boundaries, so rows are buffered
+    per doc across batches.
+    """
+    cfg = cfg or PipelineConfig()
+    labels = list(cfg.labels)
+    label_arr = np.asarray(labels, dtype=object)
+    non_rel = cfg.non_rel
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", cand.schema["doc_id"].dataType),
+            T.StructField("rel_n", T.IntegerType()),
+            T.StructField("pred", T.StringType()),
+            T.StructField("subj_id", T.StringType()),
+            T.StructField("obj_id", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("sent_diff", T.IntegerType()),
+            T.StructField("i1", T.IntegerType()),
+            T.StructField("i2", T.IntegerType()),
+        ]
+    )
+
+    def _emit(doc: pd.DataFrame) -> pd.DataFrame | None:
+        """Vectorized filter + per-doc numbering for a frame of COMPLETE
+        docs: sort by (doc, sent_diff, i1, i2), rel index via groupby
+        cumcount — one Arrow batch out per batch in, never per doc."""
+        doc = doc[doc["pred_label"] != non_rel]
+        if len(doc) == 0:
+            return None
+        doc = doc.sort_values(
+            ["doc_id", "sent_diff", "i1", "i2"], kind="mergesort"
+        ).reset_index(drop=True)
+        rn = doc.groupby("doc_id", sort=False).cumcount() + 1
+        return pd.DataFrame(
+            {
+                "doc_id": doc["doc_id"],
+                "rel_n": rn.astype("int32"),
+                "pred": doc["pred_label"],
+                "subj_id": doc["ent_id_1"],
+                "obj_id": doc["ent_id_2"],
+                "score": doc["score"],
+                "sent_diff": doc["sent_diff"].astype("int32"),
+                "i1": doc["i1"].astype("int32"),
+                "i2": doc["i2"].astype("int32"),
+            }
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = _build_scorer(cfg, labels)
+        carry: pd.DataFrame | None = None  # rows of the batch-boundary doc
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            idx, score = scorer(pdf)
+            pdf = pdf.drop(columns=["s1_marked", "s2_marked"])
+            pdf["pred_label"] = label_arr[idx]
+            pdf["score"] = score
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            # hold back the last doc: it may continue in the next batch
+            last_doc = pdf["doc_id"].iloc[-1]
+            boundary = pdf["doc_id"] == last_doc
+            carry = pdf[boundary]
+            done = pdf[~boundary]
+            if len(done):
+                out = _emit(done)
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry):
+            out = _emit(carry)
+            if out is not None:
+                yield out
+
+    out = cand.mapInPandas(run, schema=out_schema)
+    # build the R-id string JVM-side: millions of Python string objects
+    # otherwise dominate the UDF at low core counts
+    return out.select(
+        "doc_id",
+        F.concat(F.lit("R"), F.col("rel_n")).alias("rel_id"),
+        "pred", "subj_id", "obj_id", "score", "sent_diff", "i1", "i2",
+    )

@@ -66,19 +66,34 @@ def run_pipeline(
     cfg: PipelineConfig | None = None,
     doc_col: str = "doc_id",
     salt: bool = False,
+    fused: bool = True,
 ) -> PipelineResult:
+    """fused=True (default): scoring + NonRel filter + per-doc numbering in
+    one mapInPandas pass — the whole pipeline is then ZERO-shuffle (docs
+    stay partition-contiguous through the narrow candidate stage). Salting
+    repartitions by doc hash (keeps docs whole, so fused numbering stays
+    correct) and forces the non-fused path OFF only if you repartition by a
+    non-doc key yourself."""
+    from ..operators.scoring import score_filter_number
+
     cfg = cfg or PipelineConfig()
     cand = candidates(docs, cfg, doc_col=doc_col)
     if salt:
         # Salted repartition before the expensive scoring stage: spreads a
         # hot host-domain's candidates across cfg.salt_buckets tasks.
+        # Keyed by doc hash -> documents stay whole within a partition.
         cand = cand.repartition(
             F.pmod(
-                F.hash(F.col("doc_id"), F.lit("salt")) , F.lit(cfg.salt_buckets)
+                F.hash(F.col("doc_id"), F.lit("salt")), F.lit(cfg.salt_buckets)
             )
         )
     scored = score_candidates(cand, cfg)
-    trip = triples(scored, cfg)
+    if fused and not salt:
+        trip = score_filter_number(cand, cfg)
+    else:
+        # salted input interleaves docs within a partition (hash order), so
+        # use the windowed form, which is order-independent
+        trip = triples(scored, cfg)
     return PipelineResult(candidates=cand, scored=scored, triples=trip)
 
 
