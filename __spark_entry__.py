@@ -178,22 +178,12 @@ def _q_segment_pages_pandas(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    from clinicaltransformerrelationextraction_spark.operators.multimodal import (
-        documents_as_media,
-        extract_features,
-    )
-
-    return extract_features(documents_as_media(spark, sf))
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         **_REL_QUERIES,
         **_TRAIN_QUERIES,
         **_EVAL_QUERIES,
         "q_segment_pages_pandas": _q_segment_pages_pandas,
-        "q_multimodal_features": _q_multimodal_features,
         "q_sentences": _q_sentences,
         "q_mentions": _q_mentions,
         "q_candidates": _q_candidates,

@@ -112,3 +112,75 @@ def documents_as_media(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/documents.parquet").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
+
+
+_DIGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("byte_sq_sum", T.LongType()),
+        T.StructField("byte_min", T.LongType()),
+        T.StructField("byte_max", T.LongType()),
+        T.StructField("med2", T.LongType()),
+        T.StructField("sum_mod_997", T.LongType()),
+        T.StructField("n_gt100", T.LongType()),
+        T.StructField("mean_micro", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-checked multimodal feature digest: the fake decode's
+    byte-histogram moments (InputFeatures contract analog,
+    src/data_utils.py:42-55) as EXACT integer scalars — every column is a
+    bigint, so the result is sortable/hashable by any canonicalizer and the
+    DuckDB oracle reproduces it bit-for-bit from hex-extracted bytes.
+
+    mean_micro is round-half-up fixed point in pure integer arithmetic
+    ((s*2e6 + n) // (2n)); med2 is 2x the median (always an integer: the sum
+    of the two middle bytes for even n, twice the middle byte for odd n).
+    The float feature vector of ``extract_features`` is derivable from
+    these moments; this digest is the table you'd persist at 100 TB.
+    """
+    media = documents_as_media(spark, sf)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = int(arr.size)
+                if n == 0:
+                    rows.append((int(doc_id), "image") + (0,) * 9 + (1,))
+                    continue
+                s = int(arr.sum())
+                srt = np.sort(arr)
+                med2 = int(
+                    srt[n // 2] * 2 if n % 2 else srt[n // 2 - 1] + srt[n // 2]
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        "image",
+                        n,
+                        s,
+                        int((arr * arr).sum()),
+                        int(arr.min()),
+                        int(arr.max()),
+                        med2,
+                        s % 997,
+                        int((arr > 100).sum()),
+                        (s * 2_000_000 + n) // (2 * n),
+                        max(1, n // 64),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _DIGEST_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=_DIGEST_SCHEMA)

@@ -284,3 +284,31 @@ SELECT doc_id,
   octet_length(encode(text)) / length(text) AS bytes_per_char
 FROM documents
 """
+
+
+def q_multimodal_features() -> str:
+    # exact byte values recovered from the hex dump of the utf-8 payload;
+    # every aggregate is integer-exact, matching the Arrow UDF bit-for-bit
+    return """
+WITH h AS (
+  SELECT doc_id, lower(hex(encode(text))) AS h FROM documents
+),
+bytes AS (
+  SELECT doc_id,
+    (strpos('0123456789abcdef', substring(h, 2*i.i-1, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substring(h, 2*i.i, 1)) - 1 AS bv
+  FROM h, UNNEST(range(1, length(h)//2 + 1)) i(i)
+)
+SELECT doc_id, 'image' AS modality,
+  count(*)::BIGINT AS n_bytes,
+  sum(bv)::BIGINT AS byte_sum,
+  sum(bv*bv)::BIGINT AS byte_sq_sum,
+  min(bv)::BIGINT AS byte_min,
+  max(bv)::BIGINT AS byte_max,
+  CAST(2*median(bv) AS BIGINT) AS med2,
+  (sum(bv) % 997)::BIGINT AS sum_mod_997,
+  (count(*) FILTER (bv > 100))::BIGINT AS n_gt100,
+  ((sum(bv)*2000000 + count(*)) // (2*count(*)))::BIGINT AS mean_micro,
+  greatest(1, count(*) // 64)::BIGINT AS n_frames
+FROM bytes GROUP BY doc_id
+"""
