@@ -191,6 +191,53 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SIM_BANDS = 4
+SIM_BAND_BITS = SIMHASH_BITS // SIM_BANDS
+
+
+def q_simhash_band_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SCALE path for SimHash near-dup: band the 16-bit fingerprint into 4
+    nibbles and equi-join on (band, nibble) — no all-pairs join anywhere.
+    Pigeonhole guarantee: a pair within hamming distance SIM_BANDS-1 (=3)
+    differs in at most 3 bands, so at least one band is intact and the pair
+    lands in a shared bucket (superset of hamming<=3 pairs; asserted against
+    the brute histogram in tests). At 10^9 docs this is the same banded
+    equi-join shape as MinHash-LSH; the brute cross join in
+    ``q_simhash_hamming_hist`` is the small-corpus correctness twin."""
+    sh = q_simhash(spark, sf)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * SIM_BAND_BITS)
+                    .bitwiseAND(F.lit((1 << SIM_BAND_BITS) - 1))
+                    .cast("long")
+                    for b in range(SIM_BANDS)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
 def q_simhash_hamming_hist(spark: SparkSession, sf: str) -> DataFrame:
     """Histogram of pairwise SimHash hamming distances — the compact
     correctness check of the near-dup metric space."""

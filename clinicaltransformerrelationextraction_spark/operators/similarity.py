@@ -135,6 +135,61 @@ def q_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+EMB_BANDS = 4
+EMB_BAND_PLANES = N_PLANES // EMB_BANDS
+
+
+def q_embed_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """SCALE path for embedding near-dup: banded hyperplane LSH. The 16-bit
+    hyperplane signature is split into 4 bands of 4 planes; candidate pairs
+    are docs sharing at least one band value (equi-join on (band, bval) over
+    a SLIM (vec_id, band, bval) frame — vectors join back only for the
+    candidates), then verified with the exact fixed-point cosine. Subset of
+    the brute ``q_embed_neardup`` by construction; recall is asserted in
+    tests. This replaces the O(N²) cross join with the LSH bucket shape the
+    100 TB path needs (reference analog: corpus sharding,
+    preprocessing-batch.ipynb cells 17-21 — never all-pairs)."""
+    q = _q(spark, sf)
+    sig = q.select("vec_id", lsh_bucket(F.col("qe")).alias("bucket"))
+    bands = sig.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("bucket", b * EMB_BAND_PLANES)
+                    .bitwiseAND(F.lit((1 << EMB_BAND_PLANES) - 1))
+                    .cast("long")
+                    for b in range(EMB_BANDS)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    va = q.select(F.col("vec_id").alias("vec_a"), F.col("qe").alias("qa"))
+    vb = q.select(F.col("vec_id").alias("vec_b"), F.col("qe").alias("qb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a", "vec_b", cosine(F.col("qa"), F.col("qb")).alias("cos")
+        )
+        .filter(F.col("cos") > NEARDUP_COS)
+    )
+
+
 def q_label_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label quantized centroid (integer mean, floor division) and each
     vector's cosine to its own label centroid, aggregated per label —

@@ -122,6 +122,26 @@ GROUP BY 1
 """
 
 
+def q_simhash_band_pairs() -> str:
+    from ..operators.dedup import SIM_BAND_BITS, SIM_BANDS
+
+    return f"""
+WITH {_SIMHASH.strip()},
+sb AS (
+  SELECT doc_id, simhash, b.b AS band,
+         ((simhash >> ({SIM_BAND_BITS} * b.b)) & {(1 << SIM_BAND_BITS) - 1})
+           ::BIGINT AS bval
+  FROM simh, UNNEST(range(0, {SIM_BANDS})) b(b)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming,
+       count(*)::BIGINT AS n_shared_bands
+FROM sb a JOIN sb b
+  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+GROUP BY 1, 2, 3
+"""
+
+
 # --- textstats ---------------------------------------------------------------
 
 def q_token_stats() -> str:
@@ -241,6 +261,42 @@ def q_embed_neardup() -> str:
 WITH {_QE.strip()}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos
 FROM q a JOIN q b ON a.vec_id < b.vec_id
+WHERE {cos} > {NEARDUP_COS}
+"""
+
+
+def _bucket_expr() -> str:
+    terms = []
+    for j in range(N_PLANES):
+        proj = (
+            f"list_sum(list_transform(range(1, len(qe) + 1), "
+            f"i -> CASE WHEN (i * 7 + {j} * 13) % 2 = 0 "
+            f"THEN qe[i] ELSE -qe[i] END))"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def q_embed_neardup_lsh() -> str:
+    from ..operators.similarity import EMB_BAND_PLANES, EMB_BANDS
+
+    cos = _COS.format(a="a.qe", b="b.qe")
+    return f"""
+WITH {_QE.strip()},
+bk AS (SELECT vec_id, ({_bucket_expr()})::BIGINT AS bucket FROM q),
+bands AS (
+  SELECT vec_id, b.b AS band,
+         ((bucket >> ({EMB_BAND_PLANES} * b.b))
+          & {(1 << EMB_BAND_PLANES) - 1})::BIGINT AS bval
+  FROM bk, UNNEST(range(0, {EMB_BANDS})) b(b)
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bval = y.bval AND x.vec_id < y.vec_id
+)
+SELECT c.vec_a, c.vec_b, {cos} AS cos
+FROM cand c JOIN q a ON a.vec_id = c.vec_a JOIN q b ON b.vec_id = c.vec_b
 WHERE {cos} > {NEARDUP_COS}
 """
 
