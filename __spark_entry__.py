@@ -110,9 +110,10 @@ def _q_rel_stats(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.col("tok_idx").alias("i2"),
         F.col("surface").alias("obj_surface"),
     )
+    # mentions is corpus-sized: never broadcast; AQE picks the strategy
     return (
-        res.triples.join(F.broadcast(m1), ["doc_id", "i1"])
-        .join(F.broadcast(m2), ["doc_id", "i2"])
+        res.triples.join(m1, ["doc_id", "i1"])
+        .join(m2, ["doc_id", "i2"])
         .groupBy("pred", "subj_surface", "obj_surface")
         .agg(F.count("*").alias("n"))
     )

@@ -75,6 +75,23 @@ STUB_W3 = 7
 GOLD_MOD = 4
 GOLD_SHIFT = 1
 
+# --- binary classification mode ----------------------------------------------
+# The reference's second prediction mode (post_processing.py:108-139): the
+# model answers only REL vs NonRel; the concrete relation label comes from a
+# broadcast (entity_type_1, entity_type_2) -> relation map built at training
+# time (preprocessing.ipynb cell 16). One-hot binary label contract:
+# {0: [1, 0], 1: [0, 1]} (src/data_utils.py:112-114).
+ENTP2REL: dict[tuple[str, str], str] = {
+    ("ADE", "Drug"): "adverse",
+    ("Reason", "Drug"): "reason",
+    ("Dosage", "Drug"): "do",
+    ("Frequency", "Drug"): "fr",
+    ("Strength", "Drug"): "do",
+    ("Route", "Drug"): "fr",
+    ("Form", "Drug"): "adverse",
+    ("Duration", "Drug"): "reason",
+}
+
 # --- marker tokens (readme.md:35-51) -----------------------------------------
 S1_OPEN, S1_CLOSE = "[s1]", "[e1]"
 S2_OPEN, S2_CLOSE = "[s2]", "[e2]"

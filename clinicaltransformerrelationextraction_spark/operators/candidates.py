@@ -41,6 +41,23 @@ def tokens_col(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def comb_map_col(cfg: PipelineConfig) -> Column:
+    """t1 -> array of allowed t2: EXACT tuple membership in
+    ``cfg.valid_combs`` (the reference's ``(en1t, en2t) not in valid_comb``
+    set check, preprocessing.ipynb cell 6) — not the cross product of the
+    projected type sets, which silently diverges for any config whose combo
+    set is not a full cross product. Lookup of an absent t1 yields NULL and
+    ``array_contains(NULL, x)`` is NULL, so such pairs are filtered."""
+    by_t1: dict[str, list[str]] = {}
+    for t1, t2 in cfg.valid_combs:
+        by_t1.setdefault(t1, []).append(t2)
+    entries: list[Column] = []
+    for t1 in sorted(by_t1):
+        entries.append(F.lit(t1))
+        entries.append(F.array(*[F.lit(x) for x in sorted(by_t1[t1])]))
+    return F.create_map(*entries)
+
+
 def mentions_col(cfg: PipelineConfig, toks: Column) -> Column:
     """array<struct<i:int, tok, ent_type, sent_id:int>> — 1-based token index.
 
@@ -98,7 +115,12 @@ def pairs_col_indexed(cfg: PipelineConfig, mentions: Column,
             ),
         )
     )
-    return F.filter(crossed, lambda p: p["a"]["i"] != p["b"]["i"])
+    cmap = comb_map_col(cfg)
+    return F.filter(
+        crossed,
+        lambda p: (p["a"]["i"] != p["b"]["i"])
+        & F.array_contains(cmap[p["a"]["ent_type"]], p["b"]["ent_type"]),
+    )
 
 
 def pairs_col(cfg: PipelineConfig, mentions: Column) -> Column:
@@ -107,15 +129,13 @@ def pairs_col(cfg: PipelineConfig, mentions: Column) -> Column:
     reference's F3 (valid combos), F4 (distance) and J1 (permutations).
     Superseded by ``pairs_col_indexed`` (output-linear); kept as the naive
     reference form for the equality tests."""
-    arg1_types = [t1 for t1, _ in cfg.valid_combs]
-    arg2_types = sorted({t2 for _, t2 in cfg.valid_combs})
+    cmap = comb_map_col(cfg)
 
     def pair_filter(p: Column) -> Column:
         return (
             (p["a"]["i"] != p["b"]["i"])
             & (F.abs(p["a"]["sent_id"] - p["b"]["sent_id"]) <= cfg.cutoff)
-            & p["a"]["ent_type"].isin(*arg1_types)
-            & p["b"]["ent_type"].isin(*arg2_types)
+            & F.array_contains(cmap[p["a"]["ent_type"]], p["b"]["ent_type"])
         )
 
     crossed = F.flatten(
@@ -223,6 +243,9 @@ def candidates_relational(
     pairs = m1.join(m2, "doc_id").filter(
         (F.col("i1") != F.col("i2"))
         & (F.abs(F.col("s1") - F.col("s2")) <= cfg.cutoff)
+        & F.array_contains(
+            comb_map_col(cfg)[F.col("ent_type_1")], F.col("ent_type_2")
+        )
     )
     lo = F.least("s1", "s2")
     hi = F.greatest("s1", "s2")
@@ -394,6 +417,7 @@ def candidates_indexed(
         "m1s",
         F.explode(F.array(drugs_by_win.alias("x"))).alias("dbw"),
     )
+    cmap = comb_map_col(cfg)
     pairs = F.filter(
         F.flatten(
             F.transform(
@@ -404,7 +428,8 @@ def candidates_indexed(
                 ),
             )
         ),
-        lambda pr: pr["a"]["i"] != pr["b"]["i"],
+        lambda pr: (pr["a"]["i"] != pr["b"]["i"])
+        & F.array_contains(cmap[pr["a"]["ent_type"]], pr["b"]["ent_type"]),
     )
     if cfg.max_pairs_per_doc:
         pairs = F.slice(
@@ -497,6 +522,9 @@ def candidates_join(
     pairs = m1.join(m2, "doc_id").filter(
         (F.col("i1") != F.col("i2"))
         & (F.abs(F.col("s1") - F.col("s2")) <= cfg.cutoff)
+        & F.array_contains(
+            comb_map_col(cfg)[F.col("ent_type_1")], F.col("ent_type_2")
+        )
     )
     if cfg.max_pairs_per_doc:
         # same kept-set as the in-row slice: first N in (i1, i2) order;

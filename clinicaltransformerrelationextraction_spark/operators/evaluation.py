@@ -82,11 +82,29 @@ def relation_match_prf(sys_triples: DataFrame, gold_triples: DataFrame,
     Returns one row (tp, fp, fn, precision, recall, f1). This is the
     north-rule P/R ≥ 0.95 gate."""
     keys = list(keys)
-    s = sys_triples.select(*keys).distinct()
-    g = gold_triples.select(*keys).distinct()
-    tp = s.join(g, keys, "inner").count()
-    fp = s.join(g, keys, "left_anti").count()
-    fn = g.join(s, keys, "left_anti").count()
+    s = sys_triples.select(*keys).distinct().withColumn("in_sys", F.lit(1))
+    g = gold_triples.select(*keys).distinct().withColumn("in_gold", F.lit(1))
+    # ONE full-outer join aggregated to (tp, fp, fn) in a single action —
+    # the three-count form recomputes both inputs three times
+    counts = (
+        s.join(g, keys, "full_outer")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("in_sys").isNotNull() & F.col("in_gold").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("tp"),
+            F.sum(F.when(F.col("in_gold").isNull(), 1).otherwise(0)).alias(
+                "fp"
+            ),
+            F.sum(F.when(F.col("in_sys").isNull(), 1).otherwise(0)).alias(
+                "fn"
+            ),
+        )
+        .first()
+    )
+    tp, fp, fn = counts["tp"], counts["fp"], counts["fn"]
     spark = sys_triples.sparkSession
     p = tp / (tp + fp) if tp + fp else 0.0
     r = tp / (tp + fn) if tp + fn else 0.0

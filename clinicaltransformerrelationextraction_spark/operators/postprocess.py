@@ -54,6 +54,10 @@ def link_triples(trip: DataFrame, mentions: DataFrame) -> DataFrame:
     ``mentions`` must have (doc_id, tok_idx, surface). Canonical id is
     ``E_<surface>`` (alias dictionary is derivable; swap in a real alias
     table at production scale — it stays broadcast-sized).
+
+    The mentions table itself grows WITH the corpus, so it must never be
+    broadcast — only the alias dictionary is (linking.py). Both joins here
+    share the doc_id key, so AQE plans one exchange per side.
     """
     m1 = mentions.select(
         "doc_id",
@@ -66,8 +70,8 @@ def link_triples(trip: DataFrame, mentions: DataFrame) -> DataFrame:
         F.concat(F.lit("E_"), F.col("surface")).alias("obj_canonical"),
     )
     return (
-        trip.join(F.broadcast(m1), ["doc_id", "i1"])
-        .join(F.broadcast(m2), ["doc_id", "i2"])
+        trip.join(m1, ["doc_id", "i1"])
+        .join(m2, ["doc_id", "i2"])
         .select("doc_id", "rel_id", "pred", "subj_canonical",
                 "obj_canonical", "score")
     )

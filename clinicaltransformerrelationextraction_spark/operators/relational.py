@@ -96,12 +96,22 @@ def q_first_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_fold_split(spark: SparkSession, sf: str) -> DataFrame:
-    """W6 — deterministic 5-fold split (preprocessing.ipynb to_5_cv):
-    ntile over a stable order; returns fold sizes + orderkey checksum."""
-    w = Window.orderBy("o_orderkey")
+    """W6 — deterministic 5-fold split (preprocessing.ipynb to_5_cv: seeded
+    shuffle + array_split). Fold = md5-of-key mod 5: a seeded pseudo-random
+    assignment that is (a) engine-identical (md5 is the only cross-engine
+    hash) and (b) embarrassingly parallel — no global single-task ntile
+    window, the only shuffle is the final tiny groupBy. At 10^12 rows a
+    global Window.orderBy ntile funnels the corpus through ONE task; this
+    form has no ordering step at all."""
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2),
+            16, 10,
+        ).cast("int") % 5 + 1
+    )
     return (
         _t(spark, sf, "orders")
-        .withColumn("fold", F.ntile(5).over(w))
+        .withColumn("fold", fold)
         .groupBy("fold")
         .agg(
             F.count("*").alias("n"),
@@ -315,7 +325,9 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # supplier scales with SF — no broadcast hint; AQE picks the
+        # strategy from runtime stats. nation is a fixed 25-row dim.
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .filter(F.col("o_orderdate") < F.lit("1998-01-01"))
         .groupBy(F.col("n_name").alias("nation"))

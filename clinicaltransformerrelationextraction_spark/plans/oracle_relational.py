@@ -56,7 +56,12 @@ def q_fold_split() -> str:
     return """
 SELECT fold::INT AS fold, count(*)::BIGINT AS n,
        sum(o_orderkey)::BIGINT AS key_sum
-FROM (SELECT o_orderkey, ntile(5) OVER (ORDER BY o_orderkey) AS fold
+FROM (SELECT o_orderkey,
+        ((strpos('0123456789abcdef',
+                 substring(md5(o_orderkey::VARCHAR), 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef',
+                  substring(md5(o_orderkey::VARCHAR), 2, 1)) - 1) % 5 + 1
+          AS fold
       FROM orders)
 GROUP BY fold
 """
