@@ -137,6 +137,14 @@ def _q_brat_render(spark: SparkSession, sf: str) -> DataFrame:
     return run_brat(load_documents(spark, sf), CFG)
 
 
+def _q_binary_triples(spark: SparkSession, sf: str) -> DataFrame:
+    from clinicaltransformerrelationextraction_spark.operators.binarymode import (
+        q_binary_triples,
+    )
+
+    return q_binary_triples(spark, sf)
+
+
 def _module_queries(impl_mods, sql_mod):
     """Pair up q_* oracle SQL builders with the same-named implementation
     in one of the operator modules."""
@@ -194,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_stats": _q_rel_stats,
         "q_eval_prf": _q_eval_prf,
         "q_brat_render": _q_brat_render,
+        "q_binary_triples": _q_binary_triples,
     }
 
 
@@ -211,4 +220,5 @@ def oracle_sql() -> dict[str, str]:
         "q_rel_stats": oracle.q_rel_stats(),
         "q_eval_prf": oracle.q_eval_prf(),
         "q_brat_render": oracle.q_brat_render(),
+        "q_binary_triples": oracle.q_binary_triples(),
     }

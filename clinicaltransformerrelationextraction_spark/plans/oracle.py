@@ -209,6 +209,35 @@ GROUP BY ALL
 """
 
 
+def q_binary_triples() -> str:
+    """Binary mode (post_processing.py:108-139): REL/NonRel head + broadcast
+    (type1, type2) -> relation map lookup for the label."""
+    from ..config import ENTP2REL
+
+    bmap_rows = ", ".join(
+        f"('{t1}', '{t2}', '{rel}')"
+        for (t1, t2), rel in sorted(ENTP2REL.items())
+    )
+    bin_idx = (
+        f"(length(s1_marked) + {STUB_W2}*length(s2_marked)"
+        f" + {STUB_W3}*(i1+i2)) % 2"
+    )
+    return f"""{PIPELINE_PREFIX},
+bpred AS (
+  SELECT *, {bin_idx} AS bin_idx FROM cand
+),
+bmap(t1, t2, rel) AS (VALUES {bmap_rows})
+SELECT p.doc_id,
+  'R' || row_number() OVER (PARTITION BY p.doc_id
+                            ORDER BY p.sent_diff, p.i1, p.i2) AS rel_id,
+  m.rel AS pred, p.ent_id_1 AS subj_id, p.ent_id_2 AS obj_id,
+  (p.bin_idx + 1) / 2.0 AS bin_score
+FROM bpred p
+JOIN bmap m ON p.ent_type_1 = m.t1 AND p.ent_type_2 = m.t2
+WHERE p.bin_idx = 1
+"""
+
+
 def q_eval_prf() -> str:
     """Micro/per-label P/R/F1 of stub predictions vs the synthetic gold rule
     (reference: src/utils.py:83-127 measure_prf / acc_and_f1, NonRel
