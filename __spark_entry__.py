@@ -145,6 +145,14 @@ def _q_binary_triples(spark: SparkSession, sf: str) -> DataFrame:
     return q_binary_triples(spark, sf)
 
 
+def _q_tokenized_features(spark: SparkSession, sf: str) -> DataFrame:
+    from clinicaltransformerrelationextraction_spark.operators.tokenize import (
+        q_tokenized_features,
+    )
+
+    return q_tokenized_features(spark, sf)
+
+
 def _module_queries(impl_mods, sql_mod):
     """Pair up q_* oracle SQL builders with the same-named implementation
     in one of the operator modules."""
@@ -203,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_eval_prf": _q_eval_prf,
         "q_brat_render": _q_brat_render,
         "q_binary_triples": _q_binary_triples,
+        "q_tokenized_features": _q_tokenized_features,
     }
 
 
@@ -221,4 +230,5 @@ def oracle_sql() -> dict[str, str]:
         "q_eval_prf": oracle.q_eval_prf(),
         "q_brat_render": oracle.q_brat_render(),
         "q_binary_triples": oracle.q_binary_triples(),
+        "q_tokenized_features": oracle.q_tokenized_features(),
     }

@@ -69,7 +69,9 @@ def truncate_pair(toks_a: list[str], toks_b: list[str], budget: int,
                 (tags[0], tags[1])]
         head_gap = lows[0] if lows else 0
         tail_gap = (len(toks) - 1 - lows[-1]) if lows else len(toks) - 1
-        if head_gap >= tail_gap:
+        # reference tie-break (src/data_utils.py _truncate_helper): pop the
+        # HEAD only on strictly greater head gap; ties pop the TAIL
+        if head_gap > tail_gap:
             toks.pop(0)
         else:
             toks.pop()

@@ -1,0 +1,166 @@
+"""Tokenize + truncate to InputFeatures — the U2 operator completed.
+
+Reference semantics:
+
+- sep-mode encoding ``[CLS] s1 [SEP] s2 [SEP]`` with token budget
+  ``max_seq_len - total_special_toks`` (3 for BERT-like; src/config.py:29,
+  src/data_utils.py:309-310, convert_examples_to_relation_extraction_features
+  :58-88 — note the reference passes ``truncation=False``: truncation is
+  ONLY its own entity-centered loop);
+- pair truncation loop: ``_process_seq_len`` alternating a/b sides,
+  ``_truncate_helper`` popping head iff head gap is strictly larger
+  (src/data_utils.py:330-370) — implemented in scoring.truncate_pair;
+- uni-mode encoding ``[CLS] s1 s2 [SEP]`` with the FOUR-way truncation over
+  all 4 markers (``RelationDataFormatUniProcessor._process_seq_len``,
+  src/data_utils.py:420-445) — implemented here as ``truncate_uni``.
+
+The tokenizer itself is a deterministic md5-vocab stand-in (this container
+has no HF tokenizer): id = 10 + int(md5(tok)[:4], 16) % VOCAB_MOD, CLS=1,
+SEP=2 — chosen because BOTH engines can compute it exactly, so the encoded
+feature rows are DuckDB-oracle-checked end to end. A production tokenizer
+plugs into ``tokenize_features`` unchanged (same Arrow batching, same
+truncation loop, same schema).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..config import SPEC_TAGS, PipelineConfig
+from .scoring import truncate_pair
+
+__all__ = [
+    "tok_id", "truncate_uni", "encode_pair", "tokenize_features",
+    "q_tokenized_features",
+]
+
+VOCAB_MOD = 30000
+ID_OFFSET = 10
+CLS_ID = 1
+SEP_ID = 2
+
+
+def tok_id(tok: str) -> int:
+    """Deterministic vocab id, identical in Spark and DuckDB."""
+    return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % VOCAB_MOD \
+        + ID_OFFSET
+
+
+def truncate_uni(toks: list[str], budget: int) -> list[str]:
+    """Uni-mode 4-way truncation (src/data_utils.py:420-445): while over
+    budget, measure the four gaps — head→[s1], [e1]→middle, middle→[s2],
+    [s2... (a1 = t1, b1 = end - t4, c1 = mid - t2, d1 = t3 - mid) — and pop
+    from the largest one (head, tail, or midway between a marker and the
+    middle). Safety guard beyond the reference: a pop position that lands ON
+    a marker stops the loop instead of destroying it (the reference would
+    pop the tag; it never hits this case because its inputs always carry
+    context around markers)."""
+    toks = list(toks)
+    tagset = {t.lower() for t in SPEC_TAGS}
+    while len(toks) > budget:
+        tag_pos = [k for k, t in enumerate(toks) if t.lower() in tagset]
+        if len(tag_pos) != 4:
+            break
+        t1, t2, t3, t4 = tag_pos
+        mid = (len(toks) - 1) // 2
+        a1 = t1
+        b1 = (len(toks) - 1) - t4
+        c1 = mid - t2
+        d1 = t3 - mid
+        m = max(a1, b1, c1, d1)
+        if m <= 0:
+            break
+        if a1 == m:
+            pos = 0
+        elif b1 == m:
+            pos = len(toks) - 1
+        elif c1 == m:
+            pos = t2 + c1 // 2
+        else:
+            pos = t3 - d1 // 2
+        if pos in (t1, t2, t3, t4):
+            break
+        toks.pop(pos)
+    return toks
+
+
+def encode_pair(
+    toks_a: list[str], toks_b: list[str], max_seq_len: int,
+    total_special: int = 3,
+) -> list[int]:
+    """[CLS] a [SEP] b [SEP] ids under the reference budget contract."""
+    budget = max_seq_len - total_special
+    if len(toks_a) + len(toks_b) > budget:
+        toks_a, toks_b = truncate_pair(toks_a, toks_b, budget)
+    return (
+        [CLS_ID]
+        + [tok_id(t) for t in toks_a]
+        + [SEP_ID]
+        + [tok_id(t) for t in toks_b]
+        + [SEP_ID]
+    )
+
+
+def encode_uni(toks: list[str], max_seq_len: int) -> list[int]:
+    """[CLS] s1 s2 [SEP] ids, uni-mode budget max_seq_len - 2."""
+    toks = truncate_uni(toks, max_seq_len - 2)
+    return [CLS_ID] + [tok_id(t) for t in toks] + [SEP_ID]
+
+
+_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("i1", T.IntegerType()),
+        T.StructField("i2", T.IntegerType()),
+        T.StructField("n_ids", T.IntegerType()),
+        T.StructField("ids_md5", T.StringType()),
+    ]
+)
+
+
+def tokenize_features(cand: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """candidates -> tokenized InputFeatures digest (Arrow-batched map,
+    zero shuffle). The full id sequence is hashed to a scalar
+    (md5 of space-joined decimal ids) so the row is canonicalizer-sortable;
+    n_ids carries the budget invariant n_ids <= max_seq_len."""
+    cfg = cfg or PipelineConfig()
+    max_len = cfg.max_seq_len
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_ids, digests = [], []
+            for s1, s2 in zip(pdf["s1_marked"], pdf["s2_marked"]):
+                ids = encode_pair(s1.split(" "), s2.split(" "), max_len)
+                n_ids.append(len(ids))
+                digests.append(
+                    hashlib.md5(
+                        " ".join(str(x) for x in ids).encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "i1": pdf["i1"].astype("int32"),
+                    "i2": pdf["i2"].astype("int32"),
+                    "n_ids": pd.array(n_ids, dtype="int32"),
+                    "ids_md5": digests,
+                }
+            )
+
+    return cand.mapInPandas(run, schema=_FEAT_SCHEMA)
+
+
+def q_tokenized_features(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.candidates import candidates
+    from ..plans.pipeline import load_documents
+
+    cfg = PipelineConfig()
+    return tokenize_features(candidates(load_documents(spark, sf), cfg), cfg)

@@ -1,0 +1,166 @@
+"""U2 tokenize/truncate semantics vs a slow pure-Python port of the
+reference (_truncate_helper / _process_seq_len, sep + uni modes,
+src/data_utils.py:330-370,420-445)."""
+
+from __future__ import annotations
+
+import random
+
+from clinicaltransformerrelationextraction_spark.config import (
+    PipelineConfig,
+    SPEC_TAGS,
+)
+from clinicaltransformerrelationextraction_spark.operators.scoring import (
+    truncate_pair,
+)
+from clinicaltransformerrelationextraction_spark.operators.tokenize import (
+    CLS_ID,
+    SEP_ID,
+    encode_pair,
+    tokenize_features,
+    truncate_uni,
+)
+from tests.conftest import SF_SMOKE
+
+_TAGS = {t.lower() for t in SPEC_TAGS}
+
+
+# --- slow reference port (whitespace tokenizer) ------------------------------
+
+def _ref_truncate_helper(tokens: list[str]) -> list[str]:
+    """Port of _truncate_helper: pop head iff head gap strictly larger."""
+    spec = [i for i, tk in enumerate(tokens) if tk.lower() in _TAGS]
+    i1, i2 = spec[0], spec[-1]
+    head, tail = i1, (len(tokens) - 1) - i2
+    if head == tail == 0:
+        return tokens
+    if head > tail:
+        return tokens[1:]
+    return tokens[:-1]
+
+
+def _ref_process_seq_len(a: list[str], b: list[str], budget: int):
+    """Port of RelationDataFormatSepProcessor._process_seq_len: alternate
+    sides starting with a."""
+    flag = True
+    while len(a) + len(b) > budget:
+        if flag:
+            a = _ref_truncate_helper(a)
+        else:
+            b = _ref_truncate_helper(b)
+        flag = not flag
+    return a, b
+
+
+def _ref_uni(toks: list[str], budget: int) -> list[str]:
+    """Port of RelationDataFormatUniProcessor._process_seq_len."""
+    toks = list(toks)
+    while len(toks) > budget:
+        t1, t2, t3, t4 = [
+            i for i, w in enumerate(toks) if w.lower() in _TAGS
+        ]
+        mid = (len(toks) - 1) // 2
+        a1, b1 = t1, (len(toks) - 1) - t4
+        c1, d1 = mid - t2, t3 - mid
+        m = max(a1, b1, c1, d1)
+        if a1 == m:
+            toks.pop(0)
+        elif b1 == m:
+            toks.pop(-1)
+        elif c1 == m:
+            toks.pop(t2 + c1 // 2)
+        else:
+            toks.pop(t3 - d1 // 2)
+    return toks
+
+
+def _mk_pair(rng, la_head, la_tail, lb_head, lb_tail):
+    a = [f"a{i}" for i in range(la_head)] + ["[s1]", "ent", "[e1]"] + [
+        f"A{i}" for i in range(la_tail)
+    ]
+    b = [f"b{i}" for i in range(lb_head)] + ["[s2]", "drug", "[e2]"] + [
+        f"B{i}" for i in range(lb_tail)
+    ]
+    return a, b
+
+
+def test_truncate_pair_tie_pops_tail():
+    # entity exactly centered: head gap == tail gap -> reference pops TAIL
+    a = ["w1", "w2", "[s1]", "e", "[e1]", "w3", "w4"]
+    b = ["[s2]", "d", "[e2]"]
+    got_a, got_b = truncate_pair(a, b, budget=len(a) + len(b) - 1)
+    assert got_a == ["w1", "w2", "[s1]", "e", "[e1]", "w3"]
+    assert got_b == b
+
+
+def test_truncate_pair_fuzz_vs_reference_port():
+    rng = random.Random(13)
+    for _ in range(300):
+        la_head, la_tail = rng.randint(3, 25), rng.randint(3, 25)
+        lb_head, lb_tail = rng.randint(3, 25), rng.randint(3, 25)
+        a, b = _mk_pair(rng, la_head, la_tail, lb_head, lb_tail)
+        total = len(a) + len(b)
+        # pops bounded so neither side can shrink near the marker block:
+        # the reference has no small-side guards, ours does — constrain to
+        # the region where both are defined and must agree
+        max_pops = min(len(a), len(b)) - 4
+        budget = total - rng.randint(0, max(0, max_pops))
+        want = _ref_process_seq_len(list(a), list(b), budget)
+        got = truncate_pair(a, b, budget)
+        assert got == tuple(want) or [list(got[0]), list(got[1])] == list(
+            want
+        ), (budget, a, b)
+        assert len(got[0]) + len(got[1]) <= budget
+
+
+def test_truncate_uni_fuzz_vs_reference_port():
+    rng = random.Random(29)
+    for _ in range(300):
+        seg = [rng.randint(8, 20) for _ in range(5)]
+        toks = (
+            [f"h{i}" for i in range(seg[0])]
+            + ["[s1]"] + [f"x{i}" for i in range(seg[1])] + ["[e1]"]
+            + [f"m{i}" for i in range(seg[2])]
+            + ["[s2]"] + [f"y{i}" for i in range(seg[3])] + ["[e2]"]
+            + [f"t{i}" for i in range(seg[4])]
+        )
+        budget = len(toks) - rng.randint(0, 5)
+        want = _ref_uni(toks, budget)
+        got = truncate_uni(toks, budget)
+        assert got == want
+        assert len(got) <= budget
+        for tag in ("[s1]", "[e1]", "[s2]", "[e2]"):
+            assert tag in got
+
+
+def test_truncate_uni_marker_guard():
+    # degenerate input where the reference would pop a marker: we stop
+    toks = ["[s1]", "e", "[e1]", "[s2]", "d", "[e2]"]
+    got = truncate_uni(toks, 4)
+    assert all(t in got for t in ("[s1]", "[e1]", "[s2]", "[e2]"))
+
+
+def test_encode_pair_contract():
+    ids = encode_pair(["[s1]", "e", "[e1]"], ["[s2]", "d", "[e2]"], 512)
+    assert ids[0] == CLS_ID and ids[4] == SEP_ID and ids[-1] == SEP_ID
+    assert len(ids) == 3 + 3 + 3  # both sides + specials
+    # deterministic
+    assert ids == encode_pair(["[s1]", "e", "[e1]"], ["[s2]", "d", "[e2]"], 512)
+
+
+def test_tokenize_features_budget(spark):
+    """With a tiny max_seq_len the truncation loop actually runs on real
+    candidate windows and every encoded row respects the budget."""
+    from clinicaltransformerrelationextraction_spark.operators.candidates import (
+        candidates,
+    )
+    from clinicaltransformerrelationextraction_spark.plans.pipeline import (
+        load_documents,
+    )
+
+    cfg = PipelineConfig(max_seq_len=16)
+    cand = candidates(load_documents(spark, SF_SMOKE), cfg)
+    feats = tokenize_features(cand, cfg)
+    rows = feats.collect()
+    assert rows and all(r.n_ids <= 16 for r in rows)
+    assert feats.count() == cand.count()
