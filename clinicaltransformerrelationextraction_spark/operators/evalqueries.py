@@ -74,27 +74,87 @@ def q_span_eval_strict(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_span_eval_lenient(spark: SparkSession, sf: str) -> DataFrame:
-    """Lenient span evaluation (brat_eval.py:29-39): interval-overlap +
-    same type, deduped so each gold span matches at most one system span
-    (the reference's pare-down, :225-237) — per-doc match counts."""
+    """Lenient span evaluation WITH the reference's pare-down
+    (brat_eval.py:225-237): scanning system tags in order, a system tag is
+    discarded iff it overlaps a gold tag that an EARLIER system tag already
+    matched. Relational restatement (order-free, one pass): let
+    first_ord(g) = min system order over g's matches; s is removed iff it
+    matches any g with first_ord(g) < ord(s). TP then counts kept system
+    tags with >= 1 match — so a system span overlapping two golds can stand
+    in for only one of them, exactly the reference's one-to-one semantics.
+    System order is the canonical (start, end, ent_type) sort (the
+    reference uses .ann file order). Per-doc (tp, fp, fn)."""
+    from pyspark.sql import Window
+
     g = _gold(spark, sf).select(
         "doc_id", "ent_type",
         F.col("start").alias("g_start"), F.col("end").alias("g_end"),
     )
-    s = _system(spark, sf).select(
+    w = Window.partitionBy("doc_id").orderBy("start", "end", "ent_type")
+    s = _system(spark, sf).withColumn("s_ord", F.row_number().over(w)).select(
         "doc_id", "ent_type",
         F.col("start").alias("s_start"), F.col("end").alias("s_end"),
+        "s_ord",
     )
-    overlap = g.join(s, ["doc_id", "ent_type"]).filter(
-        (F.col("g_end") > F.col("s_start"))
-        & (F.col("g_start") < F.col("s_end"))
+    m = (
+        g.join(s, ["doc_id", "ent_type"])
+        .filter(
+            (F.col("g_end") > F.col("s_start"))
+            & (F.col("g_start") < F.col("s_end"))
+        )
+        .select("doc_id", "ent_type", "g_start", "g_end", "s_ord")
     )
-    matched_gold = overlap.select(
-        "doc_id", "ent_type", "g_start", "g_end"
-    ).distinct()
+    gkey = ["doc_id", "ent_type", "g_start", "g_end"]
+    first = m.groupBy(*gkey).agg(F.min("s_ord").alias("first_ord"))
+    removed = (
+        m.join(first, gkey)
+        .filter(F.col("first_ord") < F.col("s_ord"))
+        .select("doc_id", "s_ord")
+        .distinct()
+    )
+    kept = s.join(removed, ["doc_id", "s_ord"], "left_anti")
+    matched_kept = kept.join(
+        m.select("doc_id", "s_ord").distinct(), ["doc_id", "s_ord"],
+        "left_semi",
+    )
+    tp_doc = matched_kept.groupBy("doc_id").agg(F.count("*").alias("tp"))
+    kept_doc = kept.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
+    gold_doc = g.groupBy("doc_id").agg(F.count("*").alias("n_gold"))
     return (
-        matched_gold.groupBy("doc_id")
-        .agg(F.count("*").alias("n_matched"))
+        gold_doc.join(kept_doc, "doc_id", "full")
+        .join(tp_doc, "doc_id", "full")
+        .fillna(0, ["n_gold", "n_kept", "tp"])
+        .select(
+            "doc_id",
+            "tp",
+            (F.col("n_kept") - F.col("tp")).alias("fp"),
+            (F.col("n_gold") - F.col("tp")).alias("fn"),
+        )
+    )
+
+
+def q_prf_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """F9 — per-entity-type strict-span metrics (brat_eval.py:217-224: the
+    evaluator re-run with a type filter, here ONE grouped pass over all
+    types): (ent_type, tp, fp, fn, precision, recall)."""
+    g = _gold(spark, sf).select("doc_id", "ent_type", "start", "end")
+    s = _system(spark, sf)
+    keys = ["doc_id", "ent_type", "start", "end"]
+    tp = g.join(s, keys).groupBy("ent_type").agg(F.count("*").alias("tp"))
+    ng = g.groupBy("ent_type").agg(F.count("*").alias("n_gold"))
+    ns = s.groupBy("ent_type").agg(F.count("*").alias("n_sys"))
+    return (
+        ng.join(ns, "ent_type", "full")
+        .join(tp, "ent_type", "full")
+        .fillna(0, ["n_gold", "n_sys", "tp"])
+        .select(
+            "ent_type",
+            "tp",
+            (F.col("n_sys") - F.col("tp")).alias("fp"),
+            (F.col("n_gold") - F.col("tp")).alias("fn"),
+            F.round(F.col("tp") / F.col("n_sys"), 6).alias("precision"),
+            F.round(F.col("tp") / F.col("n_gold"), 6).alias("recall"),
+        )
     )
 
 

@@ -56,15 +56,73 @@ FROM tp, tot
 
 
 def q_span_eval_lenient() -> str:
+    # pare-down (brat_eval.py:225-237): s removed iff it matches a gold
+    # first matched by an earlier system tag (canonical system order)
     return f"""{_GOLD},
-overlap AS (
-  SELECT DISTINCT g.doc_id, g.ent_type, g.start AS g_start, g."end" AS g_end
-  FROM gold g JOIN sys s
+so AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY start, "end", ent_type) AS s_ord
+  FROM sys
+),
+m AS (
+  SELECT g.doc_id, g.ent_type, g.start AS g_start, g."end" AS g_end, s.s_ord
+  FROM gold g JOIN so s
     ON g.doc_id = s.doc_id AND g.ent_type = s.ent_type
    AND g."end" > s.start AND g.start < s."end"
-)
-SELECT doc_id, count(*)::BIGINT AS n_matched
-FROM overlap GROUP BY doc_id
+),
+first_m AS (
+  SELECT doc_id, ent_type, g_start, g_end, min(s_ord) AS first_ord
+  FROM m GROUP BY ALL
+),
+removed AS (
+  SELECT DISTINCT m.doc_id, m.s_ord
+  FROM m JOIN first_m f
+    ON m.doc_id = f.doc_id AND m.ent_type = f.ent_type
+   AND m.g_start = f.g_start AND m.g_end = f.g_end
+  WHERE f.first_ord < m.s_ord
+),
+kept AS (
+  SELECT s.doc_id, s.s_ord FROM so s
+  ANTI JOIN removed r ON r.doc_id = s.doc_id AND r.s_ord = s.s_ord
+),
+tp_doc AS (
+  SELECT k.doc_id, count(*)::BIGINT AS tp FROM kept k
+  SEMI JOIN (SELECT DISTINCT doc_id, s_ord FROM m) mm
+    ON mm.doc_id = k.doc_id AND mm.s_ord = k.s_ord
+  GROUP BY k.doc_id
+),
+kept_doc AS (SELECT doc_id, count(*)::BIGINT AS n_kept FROM kept GROUP BY 1),
+gold_doc AS (SELECT doc_id, count(*)::BIGINT AS n_gold FROM gold GROUP BY 1)
+SELECT coalesce(g.doc_id, k.doc_id, t.doc_id) AS doc_id,
+  coalesce(t.tp, 0)::BIGINT AS tp,
+  (coalesce(k.n_kept, 0) - coalesce(t.tp, 0))::BIGINT AS fp,
+  (coalesce(g.n_gold, 0) - coalesce(t.tp, 0))::BIGINT AS fn
+FROM gold_doc g
+FULL JOIN kept_doc k ON g.doc_id = k.doc_id
+FULL JOIN tp_doc t ON coalesce(g.doc_id, k.doc_id) = t.doc_id
+"""
+
+
+def q_prf_by_type() -> str:
+    return f"""{_GOLD},
+tp AS (
+  SELECT g.ent_type, count(*)::BIGINT AS tp
+  FROM gold g JOIN sys s
+    ON g.doc_id = s.doc_id AND g.ent_type = s.ent_type
+   AND g.start = s.start AND g."end" = s."end"
+  GROUP BY 1
+),
+ng AS (SELECT ent_type, count(*)::BIGINT AS n_gold FROM gold GROUP BY 1),
+ns AS (SELECT ent_type, count(*)::BIGINT AS n_sys FROM sys GROUP BY 1)
+SELECT coalesce(ng.ent_type, ns.ent_type, tp.ent_type) AS ent_type,
+  coalesce(tp.tp, 0)::BIGINT AS tp,
+  (coalesce(ns.n_sys, 0) - coalesce(tp.tp, 0))::BIGINT AS fp,
+  (coalesce(ng.n_gold, 0) - coalesce(tp.tp, 0))::BIGINT AS fn,
+  round(coalesce(tp.tp, 0) / coalesce(ns.n_sys, 0), 6) AS precision,
+  round(coalesce(tp.tp, 0) / coalesce(ng.n_gold, 0), 6) AS recall
+FROM ng
+FULL JOIN ns ON ng.ent_type = ns.ent_type
+FULL JOIN tp ON coalesce(ng.ent_type, ns.ent_type) = tp.ent_type
 """
 
 

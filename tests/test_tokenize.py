@@ -164,3 +164,52 @@ def test_tokenize_features_budget(spark):
     rows = feats.collect()
     assert rows and all(r.n_ids <= 16 for r in rows)
     assert feats.count() == cand.count()
+
+
+def test_lenient_paredown_matches_reference_greedy(spark):
+    """q_span_eval_lenient vs a direct port of the reference's nested-loop
+    pare-down (brat_eval.py:225-243) run per doc in plain Python."""
+    from clinicaltransformerrelationextraction_spark.operators.evalqueries import (
+        _gold,
+        _system,
+        q_span_eval_lenient,
+    )
+
+    gold = {}
+    for r in _gold(spark, SF_SMOKE).collect():
+        gold.setdefault(r.doc_id, []).append((r.ent_type, r.start, r.end))
+    sys_ = {}
+    for r in _system(spark, SF_SMOKE).collect():
+        sys_.setdefault(r.doc_id, []).append((r.ent_type, r.start, r.end))
+
+    def overlaps(g, s):
+        return g[0] == s[0] and g[2] > s[1] and g[1] < s[2]
+
+    want = {}
+    for doc_id, gol in gold.items():
+        sys_tags = sorted(sys_.get(doc_id, []), key=lambda t: (t[1], t[2], t[0]))
+        sys_check = list(sys_tags)
+        gol_matched = []
+        for s in sys_tags:
+            for g in gol:
+                if overlaps(g, s):
+                    if g not in gol_matched:
+                        gol_matched.append(g)
+                    elif s in sys_check:
+                        sys_check.remove(s)
+        tp = len({i for i, s in enumerate(sys_check)
+                  if any(overlaps(g, s) for g in gol)})
+        want[doc_id] = (tp, len(sys_check) - tp, len(gol) - tp)
+
+    got = {
+        r.doc_id: (r.tp, r.fp, r.fn)
+        for r in q_span_eval_lenient(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # the pare-down must actually bite somewhere on this corpus
+    strict_overlap_tp = sum(
+        min(len([s for s in sys_.get(d, []) if any(overlaps(g, s) for g in gs)]),
+            len(gs))
+        for d, gs in gold.items()
+    )
+    assert sum(t for t, _, _ in got.values()) <= strict_overlap_tp
