@@ -38,6 +38,7 @@ from clinicaltransformerrelationextraction_spark.operators import (
     dedup,
     evalqueries,
     multimodal,
+    preprocess,
     relational,
     similarity,
     textstats,
@@ -174,7 +175,7 @@ def _module_queries(impl_mods, sql_mod):
 
 _REL_QUERIES, _REL_SQL = _module_queries(relational, oracle_relational)
 _TRAIN_QUERIES, _TRAIN_SQL = _module_queries(
-    [dedup, textstats, similarity, multimodal], oracle_training
+    [dedup, textstats, similarity, multimodal, preprocess], oracle_training
 )
 _EVAL_QUERIES, _EVAL_SQL = _module_queries(evalqueries, oracle_eval)
 

@@ -1,0 +1,115 @@
+"""Preprocessing parity operators: de-identification (C4), gold-relation
+validation with a rejects side-output (F8), and seeded sampling (R1).
+
+Reference semantics:
+- C4: MIMIC de-id regex ``\\[\\*\\*|\\*\\*\\]`` stripped before
+  segmentation (preprocessing.ipynb cell 4, ``MIMICIII_PATTERN``);
+- F8: ``validate_rels`` drops any relation whose entity-type combination is
+  outside the valid set and logs the reject (preprocessing.ipynb cell 6) —
+  here the rejects are a first-class side-output, not a print;
+- R1: ``RandomSampler`` for training / ``SequentialSampler`` for inference
+  (src/data_utils.py:131-137). The seeded shuffle is md5(seed || key) —
+  deterministic, engine-identical, and a parallel top-k rather than a
+  global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import VALID_COMBS, PipelineConfig
+
+__all__ = ["deidentify", "q_deid", "q_validate_rels", "q_seeded_sample"]
+
+MIMIC_PATTERN = r"\[\*\*|\*\*\]"
+SAMPLE_SEED = 13  # reference run.sh seed
+SAMPLE_N = 100
+
+
+def deidentify(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Strip MIMIC PHI delimiters — one regexp_replace, zero shuffle."""
+    return df.withColumn(
+        text_col, F.regexp_replace(F.col(text_col), MIMIC_PATTERN, "")
+    )
+
+
+def q_deid(spark: SparkSession, sf: str) -> DataFrame:
+    """The synthetic corpus carries no PHI markers, so the query injects
+    them deterministically (doc_id and lang wrapped in [** **]) and then
+    strips with the reference pattern; the digest proves the strip is
+    byte-exact."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    raw = F.concat(
+        F.lit("[**"), F.col("doc_id").cast("string"), F.lit("**] "),
+        F.col("text"), F.lit(" [**"), F.col("lang"), F.lit("**]"),
+    )
+    clean = F.regexp_replace(raw, MIMIC_PATTERN, "")
+    return d.select(
+        "doc_id",
+        F.length(raw).alias("raw_len"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def q_validate_rels(spark: SparkSession, sf: str) -> DataFrame:
+    """F8 — relation validator with rejects side-output: ALL ordered
+    mention pairs within the sentence cutoff (no type pruning) are graded
+    'ok' / 'rejected' by exact (t1, t2) membership in the valid set;
+    output is the (status, type-pair) census so both streams are visible.
+    In a production pipeline the 'rejected' partition is the side-output
+    sink (the reference prints "invalid:" and drops)."""
+    from .segmentation import mentions
+
+    cfg = PipelineConfig()
+    men = mentions(spark.read.parquet(f"{sf}/documents.parquet"), cfg)
+    m1 = men.select(
+        "doc_id", F.col("tok_idx").alias("i1"),
+        F.col("ent_type").alias("ent_type_1"),
+        F.col("sent_id").alias("s1"),
+    )
+    m2 = men.select(
+        "doc_id", F.col("tok_idx").alias("i2"),
+        F.col("ent_type").alias("ent_type_2"),
+        F.col("sent_id").alias("s2"),
+    )
+    pairs = m1.join(m2, "doc_id").filter(
+        (F.col("i1") != F.col("i2"))
+        & (F.abs(F.col("s1") - F.col("s2")) <= cfg.cutoff)
+    )
+    from .candidates import comb_map_col
+
+    valid = F.array_contains(
+        comb_map_col(cfg)[F.col("ent_type_1")], F.col("ent_type_2")
+    )
+    return (
+        pairs.withColumn(
+            # NULL map lookup (t1 not an arg1 type) falls to 'rejected'
+            "status", F.when(valid, F.lit("ok")).otherwise(F.lit("rejected"))
+        )
+        .groupBy("status", "ent_type_1", "ent_type_2")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_seeded_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """R1 — seeded random sample: order by md5(seed || key) (the
+    deterministic shuffle both engines agree on), take SAMPLE_N. Spark-side
+    this is a parallel TakeOrdered top-k, never a global sort; the rank
+    window then runs over SAMPLE_N rows only."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    rk = F.md5(
+        F.concat(
+            F.lit(f"{SAMPLE_SEED}|"), F.col("o_orderkey").cast("string")
+        )
+    )
+    top = (
+        o.select(rk.alias("rk"), "o_orderkey")
+        .orderBy("rk", "o_orderkey")
+        .limit(SAMPLE_N)
+    )
+    w = Window.orderBy("rk", "o_orderkey")
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("rank", "o_orderkey", "rk")

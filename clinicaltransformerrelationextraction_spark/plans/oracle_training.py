@@ -330,6 +330,59 @@ FROM cosd GROUP BY label
 """
 
 
+# --- preprocessing parity (C4 / F8 / R1) --------------------------------------
+
+def q_deid() -> str:
+    # DuckDB regexp_replace needs the 'g' flag for replace-all (Spark's
+    # regexp_replace is global by default)
+    return r"""
+WITH raw AS (
+  SELECT doc_id,
+    '[**' || doc_id::VARCHAR || '**] ' || text || ' [**' || lang || '**]'
+      AS raw_text
+  FROM documents
+)
+SELECT doc_id,
+  length(raw_text)::INT AS raw_len,
+  length(regexp_replace(raw_text, '\[\*\*|\*\*\]', '', 'g'))::INT
+    AS clean_len,
+  md5(regexp_replace(raw_text, '\[\*\*|\*\*\]', '', 'g')) AS clean_md5
+FROM raw
+"""
+
+
+def q_validate_rels() -> str:
+    from ..config import CUTOFF, VALID_COMBS
+    from .oracle import MEN_CTE, TOKS_CTE
+
+    combs = ", ".join(f"('{a}','{b}')" for a, b in VALID_COMBS)
+    return f"""
+WITH {TOKS_CTE.strip()}, {MEN_CTE.strip()}
+SELECT CASE WHEN (m1.ent_type, m2.ent_type) IN ({combs})
+            THEN 'ok' ELSE 'rejected' END AS status,
+       m1.ent_type AS ent_type_1, m2.ent_type AS ent_type_2,
+       count(*)::BIGINT AS n
+FROM men m1 JOIN men m2 USING (doc_id)
+WHERE m1.i <> m2.i AND abs(m1.sent_id - m2.sent_id) <= {CUTOFF}
+GROUP BY ALL
+"""
+
+
+def q_seeded_sample() -> str:
+    from ..operators.preprocess import SAMPLE_N, SAMPLE_SEED
+
+    return f"""
+SELECT rank::INT AS rank, o_orderkey, rk FROM (
+  SELECT row_number() OVER (
+           ORDER BY md5('{SAMPLE_SEED}|' || o_orderkey::VARCHAR), o_orderkey
+         ) AS rank,
+         o_orderkey,
+         md5('{SAMPLE_SEED}|' || o_orderkey::VARCHAR) AS rk
+  FROM orders
+) WHERE rank <= {SAMPLE_N}
+"""
+
+
 # --- multimodal --------------------------------------------------------------
 
 def q_multimodal_meta() -> str:

@@ -50,6 +50,32 @@ def write_candidates_tsv(df: DataFrame, path: str,
     )
 
 
+def write_predictions_text(
+    preds: DataFrame,
+    path: str,
+    order_cols: tuple[str, ...] = ("doc_id", "i1", "i2"),
+    label_col: str = "pred_label",
+) -> None:
+    """S6 — the reference's prediction sink: one label string per line, in
+    input order (src/relation_extraction.py:73-77; per-batch files
+    src/batch_prediction.py:76-81). Order alignment is the explicit content
+    key, never position (SURVEY.md §2.3 J3). Written as a single sorted
+    file for byte parity with the reference's one .txt per batch — this is
+    a fixture-parity artifact; the production-scale sink is the partitioned
+    parquet/Iceberg predictions table."""
+    (
+        preds.select(
+            *[F.col(c) for c in order_cols],
+            F.col(label_col).cast("string").alias("value"),
+        )
+        .repartition(1)
+        .sortWithinPartitions(*order_cols)
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
 def candidates_to_tsv_shape(cand: DataFrame, label_col: str | None = None) -> DataFrame:
     """Project the engine's candidates DataFrame onto the reference TSV
     contract (file_id <- doc_id; label blank at inference time, exactly like
