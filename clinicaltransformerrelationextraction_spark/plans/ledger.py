@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass
 
@@ -87,7 +88,15 @@ class LedgerRun:
                 "bucket", F.lit(b)
             )
             # idempotent partition overwrite: re-running a bucket replaces
-            # exactly its own output files
+            # exactly its own output files. Dynamic overwrite writes NO
+            # files for an empty result, which would (a) leave stale rows
+            # from a previous run of this bucket and (b) leave nothing to
+            # read if the first bucket is empty — so clear the partition
+            # directory explicitly first (Iceberg replacePartitions
+            # semantics, where empty replacement drops the partition).
+            part_dir = os.path.join(self.triples_dir, f"bucket={b}")
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
             trip.write.mode("overwrite").partitionBy("bucket").parquet(
                 self.triples_dir
             )
@@ -95,6 +104,8 @@ class LedgerRun:
                 spark.read.parquet(self.triples_dir)
                 .filter(F.col("bucket") == b)
                 .count()
+                if os.path.isdir(part_dir)
+                else 0
             )
             ledger[key] = {
                 "status": "done",

@@ -80,6 +80,14 @@ def _us_ts(sec: float) -> "pd.Timestamp":
 def _sessionize_group(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    """Emits every session whose extent is known at the end of the
+    micro-batch, INCLUDING the still-open one (AvailableNow semantics:
+    the drain must surface all data; a live stream would instead flush on
+    state timeout). An open session extended by a later drain is therefore
+    RE-emitted under the same (user_id, session_id) with a grown end —
+    the append sink is an upsert log, and ``sessions_canonical`` is the
+    read contract that folds it (last emission wins). The two-drain
+    incremental test asserts canonical == the batch twin."""
     (user_id,) = key
     if state.exists:
         session_id, last_ts, start_ts, n = state.get
@@ -88,24 +96,25 @@ def _sessionize_group(
 
     out: list[dict[str, Any]] = []
     gap = SESSION_GAP_MIN * 60
-    for pdf in pdfs:
-        for ts in sorted(pdf["ts"]):
-            t = ts.timestamp()
-            if last_ts is None or t - last_ts > gap:
-                if last_ts is not None:
-                    out.append(
-                        {"user_id": user_id, "session_id": session_id,
-                         "session_start": _us_ts(start_ts),
-                         "session_end": _us_ts(last_ts),
-                         "n_events": n}
-                    )
-                session_id += 1
-                start_ts, n = t, 0
-            last_ts = t
-            n += 1
+    # collect the whole group's micro-batch before sorting: events may
+    # arrive split across multiple Arrow chunks in arbitrary order
+    chunks = [pdf["ts"] for pdf in pdfs if len(pdf)]
+    all_ts = sorted(pd.concat(chunks)) if chunks else []
+    for ts in all_ts:
+        t = ts.timestamp()
+        if last_ts is None or t - last_ts > gap:
+            if last_ts is not None:
+                out.append(
+                    {"user_id": user_id, "session_id": session_id,
+                     "session_start": _us_ts(start_ts),
+                     "session_end": _us_ts(last_ts),
+                     "n_events": n}
+                )
+            session_id += 1
+            start_ts, n = t, 0
+        last_ts = t
+        n += 1
     state.update((session_id, last_ts, start_ts, n))
-    # close the open session too (AvailableNow batch semantics: emit all;
-    # a live stream would instead rely on state timeout)
     if last_ts is not None:
         out.append(
             {"user_id": user_id, "session_id": session_id,
@@ -114,6 +123,19 @@ def _sessionize_group(
              "n_events": n}
         )
     yield pd.DataFrame(out, columns=[f.name for f in SESSION_SCHEMA.fields])
+
+
+def sessions_canonical(sessions: DataFrame) -> DataFrame:
+    """Read contract for the streaming session sink: a session re-emitted
+    by a later drain (same user_id + session_id) supersedes the earlier
+    row — start never moves, end and n_events only grow, so the fold is
+    min(start) / max(end) / max(n_events). ONE small groupBy at read time
+    buys idempotent incremental appends with no sink rewrites."""
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("session_start").alias("session_start"),
+        F.max("session_end").alias("session_end"),
+        F.max("n_events").alias("n_events"),
+    )
 
 
 def sessionize_stream(

@@ -202,3 +202,37 @@ def test_truncation_property():
     # no-op when under budget
     a2, b2 = truncate_pair(["[s1]", "e", "[e1]"], ["[s2]", "d", "[e2]"], 512)
     assert a2 == ["[s1]", "e", "[e1]"] and b2 == ["[s2]", "d", "[e2]"]
+
+
+def test_ledger_empty_bucket_and_stale_partition(spark, tmp_path):
+    """A bucket whose re-run yields ZERO triples must (a) not crash the
+    count when no files were written and (b) clear its previously-written
+    stale rows (dynamic overwrite alone would keep them)."""
+    import json
+
+    docs = load_documents(spark, SF_SMOKE).limit(120)
+    run = LedgerRun(out_dir=str(tmp_path / "runE"), n_buckets=4)
+    ledger = run.run(docs, PipelineConfig())
+    assert all(v["status"] == "done" for v in ledger.values())
+    total = run.triples(spark).count()
+    assert total > 0
+
+    # find a bucket that produced triples, mark it not-done, and re-run
+    # with ONLY out-of-bucket docs -> that bucket is now empty
+    target = next(k for k, v in ledger.items() if v["n_triples"] > 0)
+    ledger[target]["status"] = "redo"
+    run._write_ledger(ledger)
+    kept_docs = docs.withColumn(
+        "b", F.pmod(F.hash("doc_id"), F.lit(4))
+    ).filter(F.col("b") != int(target)).drop("b")
+    ledger2 = run.resume(kept_docs, PipelineConfig())
+    assert ledger2[target]["status"] == "done"
+    assert ledger2[target]["n_triples"] == 0
+    remaining = run.triples(spark)
+    assert remaining.filter(F.col("bucket") == int(target)).count() == 0
+
+    # first-bucket-empty fresh run must not crash on a missing triples dir
+    run2 = LedgerRun(out_dir=str(tmp_path / "runF"), n_buckets=2)
+    empty_docs = docs.filter(F.lit(False))
+    ledger3 = run2.run(empty_docs, PipelineConfig())
+    assert all(v["n_triples"] == 0 for v in ledger3.values())
