@@ -154,6 +154,14 @@ def _q_tokenized_features(spark: SparkSession, sf: str) -> DataFrame:
     return q_tokenized_features(spark, sf)
 
 
+def _q_tokenized_uni(spark: SparkSession, sf: str) -> DataFrame:
+    from clinicaltransformerrelationextraction_spark.operators.tokenize import (
+        q_tokenized_uni,
+    )
+
+    return q_tokenized_uni(spark, sf)
+
+
 def _module_queries(impl_mods, sql_mod):
     """Pair up q_* oracle SQL builders with the same-named implementation
     in one of the operator modules."""
@@ -213,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_brat_render": _q_brat_render,
         "q_binary_triples": _q_binary_triples,
         "q_tokenized_features": _q_tokenized_features,
+        "q_tokenized_uni": _q_tokenized_uni,
     }
 
 
@@ -232,4 +241,5 @@ def oracle_sql() -> dict[str, str]:
         "q_brat_render": oracle.q_brat_render(),
         "q_binary_triples": oracle.q_binary_triples(),
         "q_tokenized_features": oracle.q_tokenized_features(),
+        "q_tokenized_uni": oracle.q_tokenized_uni(),
     }

@@ -76,11 +76,29 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
         "neighbor_id",
         cosine(F.col("qv"), F.col("cv")).alias("cos"),
     )
+    # two-phase top-k: a single window partitioned by query_id would cap
+    # parallelism at N_QUERIES tasks over the full corpus — instead take
+    # per-(query, salt) top-k in parallel (the salt inherits the scan's
+    # partitioning of the big side), then rank the tiny
+    # N_QUERIES * SALTS * TOPK survivor set. Identical result: the global
+    # top-k is contained in the union of per-salt top-ks.
+    salts = 16
+    w1 = Window.partitionBy("query_id", "salt").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    pre = (
+        scored.withColumn(
+            "salt", F.pmod(F.col("neighbor_id"), F.lit(salts))
+        )
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= TOPK)
+        .drop("salt", "r1")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pre.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos")
     )

@@ -164,3 +164,66 @@ def q_tokenized_features(spark: SparkSession, sf: str) -> DataFrame:
 
     cfg = PipelineConfig()
     return tokenize_features(candidates(load_documents(spark, sf), cfg), cfg)
+
+
+_UNI_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("i1", T.IntegerType()),
+        T.StructField("i2", T.IntegerType()),
+        T.StructField("n_ids", T.IntegerType()),
+        T.StructField("ids_md5", T.StringType()),
+    ]
+)
+
+
+def tokenize_features_uni(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """Uni-mode ([CLS] S1 S2 [SEP], data_format_mode=1, src/task.py:41-49):
+    expects a ``uni_marked`` column carrying BOTH marker pairs in one
+    window string (candidates_uni); encodes under the max_seq_len - 2
+    budget with the 4-way truncation."""
+    cfg = cfg or PipelineConfig()
+    max_len = cfg.max_seq_len
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_ids, digests = [], []
+            for s in pdf["uni_marked"]:
+                ids = encode_uni(s.split(" "), max_len)
+                n_ids.append(len(ids))
+                digests.append(
+                    hashlib.md5(
+                        " ".join(str(x) for x in ids).encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "i1": pdf["i1"].astype("int32"),
+                    "i2": pdf["i2"].astype("int32"),
+                    "n_ids": pd.array(n_ids, dtype="int32"),
+                    "ids_md5": digests,
+                }
+            )
+
+    return df.mapInPandas(run, schema=_UNI_SCHEMA)
+
+
+def q_tokenized_uni(spark: SparkSession, sf: str) -> DataFrame:
+    """Uni example construction is the space-concat of the two marked
+    sentences (RelationDataFormatUniProcessor._create_examples_helper:
+    text_a = " ".join([line[1], line[2]]))."""
+    from pyspark.sql import functions as F
+
+    from ..operators.candidates import candidates
+    from ..plans.pipeline import load_documents
+
+    cfg = PipelineConfig()
+    cand = candidates(load_documents(spark, sf), cfg)
+    uni = cand.select(
+        "doc_id", "i1", "i2",
+        F.concat_ws(" ", "s1_marked", "s2_marked").alias("uni_marked"),
+    )
+    return tokenize_features_uni(uni, cfg)

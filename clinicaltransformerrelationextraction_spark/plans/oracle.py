@@ -268,6 +268,34 @@ FROM enc
 """
 
 
+def q_tokenized_uni() -> str:
+    """Uni-mode [CLS] s1 s2 [SEP] encoding (data_format_mode=1): ids over
+    the space-concat of the two marked sentences, budget max_seq_len - 2
+    (never exceeded on this corpus; the 4-way truncation loop is fuzzed in
+    pytest instead)."""
+    from ..operators.tokenize import CLS_ID, ID_OFFSET, SEP_ID, VOCAB_MOD
+
+    hexpos = "strpos('0123456789abcdef', substring(md5(t), {}, 1)) - 1"
+    tid = (
+        f"(({hexpos.format(1)}) * 4096 + ({hexpos.format(2)}) * 256"
+        f" + ({hexpos.format(3)}) * 16 + ({hexpos.format(4)}))"
+        f" % {VOCAB_MOD} + {ID_OFFSET}"
+    )
+    return f"""{PIPELINE_PREFIX},
+enc AS (
+  SELECT doc_id, i1, i2,
+    [{CLS_ID}::BIGINT]
+      || list_transform(
+           string_split(s1_marked || ' ' || s2_marked, ' '), t -> {tid})
+      || [{SEP_ID}::BIGINT] AS ids
+  FROM cand
+)
+SELECT doc_id, i1, i2, len(ids)::INT AS n_ids,
+       md5(array_to_string(ids, ' ')) AS ids_md5
+FROM enc
+"""
+
+
 def q_eval_prf() -> str:
     """Micro/per-label P/R/F1 of stub predictions vs the synthetic gold rule
     (reference: src/utils.py:83-127 measure_prf / acc_and_f1, NonRel

@@ -213,3 +213,27 @@ def test_lenient_paredown_matches_reference_greedy(spark):
         for d, gs in gold.items()
     )
     assert sum(t for t, _, _ in got.values()) <= strict_overlap_tp
+
+
+def test_tokenize_uni_budget(spark):
+    """Uni-mode at a tiny max_seq_len drives the 4-way truncation on real
+    concatenated windows; budget respected everywhere."""
+    from pyspark.sql import functions as F
+    from clinicaltransformerrelationextraction_spark.operators.candidates import (
+        candidates,
+    )
+    from clinicaltransformerrelationextraction_spark.operators.tokenize import (
+        tokenize_features_uni,
+    )
+    from clinicaltransformerrelationextraction_spark.plans.pipeline import (
+        load_documents,
+    )
+
+    cfg = PipelineConfig(max_seq_len=18)
+    cand = candidates(load_documents(spark, SF_SMOKE), cfg)
+    uni = cand.select(
+        "doc_id", "i1", "i2",
+        F.concat_ws(" ", "s1_marked", "s2_marked").alias("uni_marked"),
+    )
+    rows = tokenize_features_uni(uni, cfg).collect()
+    assert rows and all(r.n_ids <= 18 for r in rows)
