@@ -1,0 +1,90 @@
+"""Plan-shape regression guards: the physical plans we designed for 100 TB
+must not silently regress (extra shuffles, single-partition exchanges,
+forced broadcasts of corpus-sized tables)."""
+
+from __future__ import annotations
+
+from clinicaltransformerrelationextraction_spark.config import PipelineConfig
+from clinicaltransformerrelationextraction_spark.operators.candidates import (
+    candidates,
+)
+from clinicaltransformerrelationextraction_spark.plans.pipeline import (
+    load_documents,
+    run_pipeline,
+)
+from tests.conftest import SF_SMOKE
+
+
+import re
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+
+
+def _nodes(plan: str) -> list[str]:
+    """Node headers of a formatted plan ('(3) Exchange' -> 'Exchange')."""
+    return re.findall(r"^\(\d+\) (\S+)", plan, re.M)
+
+
+def test_candidate_generation_is_shuffle_free(spark):
+    """The candidate stage may contain ONLY the input-split repartition
+    (round-robin from ensure_parallelism) — never a hash-partition
+    exchange: the pair blow-up is in-row by design."""
+    plan = _plan(candidates(load_documents(spark, SF_SMOKE), PipelineConfig()))
+    assert _nodes(plan).count("Exchange") <= 1
+    assert "hashpartitioning" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_fused_triples_pipeline_is_shuffle_free(spark):
+    """Fused score+filter+number: zero shuffle end to end beyond the input
+    split; no Window node (numbering happens inside the Arrow UDF)."""
+    trip = run_pipeline(
+        load_documents(spark, SF_SMOKE), PipelineConfig()
+    ).triples
+    plan = _plan(trip)
+    nodes = _nodes(plan)
+    assert nodes.count("Exchange") <= 1
+    assert "hashpartitioning" not in plan
+    assert "Window" not in nodes
+
+
+def test_no_single_partition_exchange_in_headline_queries(spark):
+    """A SinglePartition exchange funnels the corpus through one task —
+    the q_fold_split regression this guards against. orderBy+limit top-k
+    (TakeOrderedAndProject) is fine and does not use one."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in [
+        "q_fold_split", "q_triples", "q_candidates", "q_rel_stats",
+        "q_dedup_minhash_pairs", "q_ann_topk", "q_tpch_q1", "q_tpch_q5",
+        "q_seeded_sample",
+    ]:
+        plan = _plan(qs[name](spark, SF_SMOKE))
+        assert "SinglePartition" not in plan, name
+
+
+def test_no_forced_broadcast_of_corpus_tables(spark):
+    """ResolvedHint/static broadcast must appear only on true dimension
+    tables. The mentions-derived joins in q_rel_stats/q_triples_linked
+    carry no hint (AQE decides from runtime stats)."""
+    from clinicaltransformerrelationextraction_spark.operators.postprocess import (
+        link_triples,
+    )
+    from clinicaltransformerrelationextraction_spark.operators.segmentation import (
+        mentions,
+    )
+
+    docs = load_documents(spark, SF_SMOKE)
+    cfg = PipelineConfig()
+    trip = run_pipeline(docs, cfg).triples
+    men = mentions(docs, cfg)
+    linked = link_triples(trip, men)
+    optimized = linked._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized
+    assert ", broadcast" not in optimized
