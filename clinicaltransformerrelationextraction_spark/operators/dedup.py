@@ -110,20 +110,41 @@ def _bands(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band bucket
-    (a < b), with the number of shared bands."""
+    (a < b), with the number of shared bands.
+
+    Bucket-group form, NOT a self-join: a self-join evaluates the
+    HOF-heavy signature subtree twice (measured ~2x the query cost) and
+    shuffles both sides; here bands are computed ONCE, one shuffle groups
+    docs per (band, bkey), and the in-bucket ordered pairs are emitted
+    in-row. In-bucket blow-up is bounded by true near-dup group sizes —
+    the same rows the join would produce. At 100 TB the bands frame is the
+    signature table you'd materialize once anyway. (Also measured: an
+    explode-shingles -> codegen md5 -> map-side-combined min groupBy
+    variant loses to the in-row HOF signatures 5.5s vs 3.4s at sf0.1 —
+    the extra shuffle outweighs codegen'd hashing.)"""
     b = _bands(spark, sf)
-    a = b.alias("a")
-    c = b.alias("b")
-    return (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        b.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("ds"),
+                    i + 2,
+                    F.greatest(F.size("ds") - i - 1, F.lit(0)),
+                ),
+                lambda x: F.struct(a.alias("doc_a"), x.alias("doc_b")),
+            ),
         )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
         )
         .agg(F.count("*").alias("n_shared_bands"))
     )

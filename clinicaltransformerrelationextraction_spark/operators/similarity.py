@@ -76,29 +76,18 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
         "neighbor_id",
         cosine(F.col("qv"), F.col("cv")).alias("cos"),
     )
-    # two-phase top-k: a single window partitioned by query_id would cap
-    # parallelism at N_QUERIES tasks over the full corpus — instead take
-    # per-(query, salt) top-k in parallel (the salt inherits the scan's
-    # partitioning of the big side), then rank the tiny
-    # N_QUERIES * SALTS * TOPK survivor set. Identical result: the global
-    # top-k is contained in the union of per-salt top-ks.
-    salts = 16
-    w1 = Window.partitionBy("query_id", "salt").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
-    pre = (
-        scored.withColumn(
-            "salt", F.pmod(F.col("neighbor_id"), F.lit(salts))
-        )
-        .withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= TOPK)
-        .drop("salt", "r1")
-    )
+    # Parallelism note (verified in the physical plan, test_plan_shapes):
+    # rank<=k over a window is planned with a PARTIAL WindowGroupLimit
+    # BEFORE the exchange — Spark does the two-phase top-k natively, each
+    # scan task keeps only its local top-k per query, so the N_QUERIES
+    # post-shuffle partitions see <= k rows per upstream partition and the
+    # small partition count is no ceiling. A manual salted two-phase was
+    # benchmarked and only added an exchange.
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
     )
     return (
-        pre.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos")
     )

@@ -88,3 +88,14 @@ def test_no_forced_broadcast_of_corpus_tables(spark):
     optimized = linked._jdf.queryExecution().optimizedPlan().toString()
     assert "ResolvedHint" not in optimized
     assert ", broadcast" not in optimized
+
+
+def test_ann_topk_has_mapside_window_group_limit(spark):
+    """rank<=k must keep its partial (map-side) WindowGroupLimit: each scan
+    task prunes to its local top-k BEFORE the shuffle, so the small
+    post-shuffle partition count (one per query id) is no parallelism
+    ceiling."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["q_ann_topk"](spark, SF_SMOKE))
+    assert _nodes(plan).count("WindowGroupLimit") >= 2
