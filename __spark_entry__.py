@@ -138,6 +138,14 @@ def _q_brat_render(spark: SparkSession, sf: str) -> DataFrame:
     return run_brat(load_documents(spark, sf), CFG)
 
 
+def _q_micro_prf(spark: SparkSession, sf: str) -> DataFrame:
+    from clinicaltransformerrelationextraction_spark.operators.evaluation import (
+        micro_prf,
+    )
+
+    return micro_prf(_q_eval_prf(spark, sf))
+
+
 def _q_binary_triples(spark: SparkSession, sf: str) -> DataFrame:
     from clinicaltransformerrelationextraction_spark.operators.binarymode import (
         q_binary_triples,
@@ -218,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triples_linked": _q_triples_linked,
         "q_rel_stats": _q_rel_stats,
         "q_eval_prf": _q_eval_prf,
+        "q_micro_prf": _q_micro_prf,
         "q_brat_render": _q_brat_render,
         "q_binary_triples": _q_binary_triples,
         "q_tokenized_features": _q_tokenized_features,
@@ -238,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "q_triples_linked": oracle.q_triples_linked(),
         "q_rel_stats": oracle.q_rel_stats(),
         "q_eval_prf": oracle.q_eval_prf(),
+        "q_micro_prf": oracle.q_micro_prf(),
         "q_brat_render": oracle.q_brat_render(),
         "q_binary_triples": oracle.q_binary_triples(),
         "q_tokenized_features": oracle.q_tokenized_features(),

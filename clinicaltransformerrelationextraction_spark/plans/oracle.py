@@ -324,6 +324,40 @@ GROUP BY l.label
 """
 
 
+def q_micro_prf() -> str:
+    """A4 — micro P/R/F1 excluding NonRel (acc_and_f1, src/utils.py:120-127
+    with the label exclusion at :123): one-row rollup of the per-label
+    confusion counts."""
+    gold_idx = f"(({stub_idx('s1_marked', 's2_marked', 'i1', 'i2')})" \
+               f" + {GOLD_SHIFT}) % {len(LABELS)}"
+    return f"""{PIPELINE_PREFIX},{PRED_CTE},
+scored AS (
+  SELECT pred_label,
+    CASE WHEN (3*i1 + i2) % {GOLD_MOD} = 0
+         THEN {label_case(gold_idx)} ELSE '{NON_REL}' END AS gold_label
+  FROM pred
+),
+labels AS (
+  SELECT unnest([{_sql_list([l for l in LABELS if l != NON_REL])}]) AS label
+),
+counts AS (
+  SELECT
+    sum(CASE WHEN s.pred_label = l.label AND s.gold_label = l.label
+             THEN 1 ELSE 0 END)::BIGINT AS tp,
+    sum(CASE WHEN s.pred_label = l.label AND s.gold_label <> l.label
+             THEN 1 ELSE 0 END)::BIGINT AS fp,
+    sum(CASE WHEN s.pred_label <> l.label AND s.gold_label = l.label
+             THEN 1 ELSE 0 END)::BIGINT AS fn
+  FROM labels l CROSS JOIN scored s
+)
+SELECT tp, fp, fn,
+  round(tp / (tp + fp), 6) AS precision,
+  round(tp / (tp + fn), 6) AS recall,
+  round(2 * tp / (2 * tp + fp + fn), 6) AS f1
+FROM counts
+"""
+
+
 def q_brat_render() -> str:
     """Per-doc brat ``.ann`` rendering: T lines then R lines
     (reference: post_processing.py:66-85 output_results;
