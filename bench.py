@@ -147,17 +147,44 @@ def run_scaling_level(cpus: str, path: str, repeats: int = 3) -> dict:
     }
 
 
+def _spinners(cores: range) -> list:
+    """Register-only busy loops pinned to otherwise-idle cores.
+
+    Why: on this host, 8 busy cores turbo well above the all-core clock
+    (measured: an 8-proc md5 burn runs ~16% faster with 24 cores idle than
+    with them busy), which INFLATES the small-cluster baseline — a real
+    N-executor cluster does not get faster clocks because the OTHER hosts'
+    cores exist. Occupying the idle cores with a pure-register spin (no
+    memory traffic) equalizes per-core clocks across levels, which is the
+    property the N-vs-4N comparison assumes. Disable with
+    CTRE_EQUALIZE_CLOCKS=0 to measure the raw (turbo-inflated) baseline.
+    """
+    import subprocess
+
+    return [
+        subprocess.Popen(
+            ["taskset", "-c", str(c), sys.executable, "-c",
+             "while True: pass"]
+        )
+        for c in cores
+    ]
+
+
 def run_scaling() -> dict:
     """The flagship pipeline (documents -> candidates -> Arrow-batched
     scoring -> triples) at two parallelism levels on the SAME input — the
     sandbox stand-in for the north rule's N vs 4N executors. Each level runs
-    in its own subprocess (fresh JVM, same heap size)."""
+    in its own subprocess (fresh JVM, same heap size), taskset-pinned; the
+    smaller level's idle cores run clock-equalizing spinners (see
+    _spinners)."""
     import subprocess
 
     prep = _session(CPUS)
     path = _scaling_input(prep)
     prep.stop()
 
+    nproc = os.cpu_count() or 32
+    equalize = os.environ.get("CTRE_EQUALIZE_CLOCKS", "1") == "1"
     out = {}
     env = dict(os.environ, CTRE_DRIVER_MEM="24g")
     for cpus in ("8", "32"):
@@ -170,13 +197,23 @@ def run_scaling() -> dict:
             sys.executable, os.path.abspath(__file__),
             "--scaling-level", cpus, path,
         ]
-        r = subprocess.run(
-            cmd, capture_output=True, text=True, env=env, check=True,
+        spin = (
+            _spinners(range(int(cpus), nproc))
+            if equalize and int(cpus) < nproc
+            else []
         )
+        try:
+            r = subprocess.run(
+                cmd, capture_output=True, text=True, env=env, check=True,
+            )
+        finally:
+            for sp in spin:
+                sp.kill()
         out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
     eff = out["32"]["triples_per_sec"] / out["8"]["triples_per_sec"] / 4.0
     out["scaling_efficiency_8_to_32"] = round(eff, 3)
     out["replication"] = SCALE_REPL
+    out["clock_equalized"] = equalize
     return out
 
 
