@@ -103,7 +103,8 @@ def _scaling_input(spark) -> str:
     """Replicate the documents table SCALE_REPL× into a multi-file parquet
     dir so (a) both parallelism levels read the identical input and (b) each
     core has real work — at sf0.1 alone, task-scheduling overhead dominates
-    and the scaling measurement is meaningless."""
+    and the scaling measurement is meaningless. Also materializes the
+    candidate table once, for the scoring-stage measurement."""
     path = f"/tmp/ctre_scaling_docs_repl{SCALE_REPL}"
     if not os.path.exists(path + "/_SUCCESS"):
         from pyspark.sql import functions as F
@@ -115,23 +116,76 @@ def _scaling_input(spark) -> str:
             "text", "lang", "source", "n_chars",
         )
         big.repartition(256).write.mode("overwrite").parquet(path)
+    cand_path = f"/tmp/ctre_scaling_cand_repl{SCALE_REPL}"
+    if not os.path.exists(cand_path + "/_SUCCESS"):
+        from clinicaltransformerrelationextraction_spark.config import (
+            PipelineConfig,
+        )
+        from clinicaltransformerrelationextraction_spark.operators.candidates import (  # noqa: E501
+            candidates,
+        )
+
+        candidates(
+            spark.read.parquet(path), PipelineConfig()
+        ).write.mode("overwrite").parquet(cand_path)
     return path
 
 
-def run_scaling_level(cpus: str, path: str, repeats: int = 3) -> dict:
-    """One parallelism level, run in a FRESH JVM (subprocess) so heap state
-    and JVM flags don't leak between levels. Reports the best of N runs
+def _level_session(cpus: str):
+    """Session for one scaling level. CTRE_SCALING_MASTER=local-cluster
+    (default) spawns REAL separate executor JVM processes — the honest
+    stand-in for 'N executors': per-executor heaps/GC, executor-side Python
+    workers fed via spark.executorEnv, exactly the spark-submit --py-files
+    deployment shape. local falls back to single-JVM local[n]."""
+    from clinicaltransformerrelationextraction_spark.session import get_spark
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    mode = os.environ.get("CTRE_SCALING_MASTER", "local-cluster")
+    if mode == "local-cluster":
+        os.environ.setdefault(
+            "SPARK_HOME",
+            os.path.dirname(__import__("pyspark").__file__),
+        )
+        nexec = max(int(cpus) // 4, 1)
+        master = f"local-cluster[{nexec},4,8192]"
+        extra = {
+            "spark.driver.memory": "4g",
+            "spark.executorEnv.PYTHONPATH": repo,
+            "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+            "spark.executorEnv.OMP_NUM_THREADS": "1",
+        }
+        return get_spark(
+            app_name="ctre-scale", master=master,
+            shuffle_partitions=max(int(cpus), 8), extra_conf=extra,
+        )
+    return _session(cpus)
+
+
+def run_scaling_level(cpus: str, path: str, repeats: int | None = None) -> dict:
+    """One parallelism level, run in a FRESH process tree so heap state and
+    JVM flags don't leak between levels. Measures BOTH the end-to-end
+    flagship pipeline and the scoring stage alone (over pre-materialized
+    candidates, CTRE_SCALING_SCORER backend, default mlp = the
+    compute-realistic transformer stand-in). Reports the best of N runs
     (steady-state throughput, the quantity that scales with executors)."""
     from clinicaltransformerrelationextraction_spark.config import (
         PipelineConfig,
+    )
+    from clinicaltransformerrelationextraction_spark.operators.scoring import (
+        score_filter_number,
     )
     from clinicaltransformerrelationextraction_spark.plans.pipeline import (
         run_pipeline,
     )
 
-    spark = _session(cpus)
+    if repeats is None:
+        repeats = int(os.environ.get("CTRE_SCALING_REPEATS", "3"))
+    scorer = os.environ.get("CTRE_SCALING_SCORER", "mlp")
+    spark = _level_session(cpus)
     _warm_python_workers(spark)
     docs = spark.read.parquet(path)
+    out: dict = {}
+
     best, n = None, 0
     run_pipeline(docs, PipelineConfig()).triples.count()  # warm-up
     for _ in range(repeats):
@@ -139,12 +193,28 @@ def run_scaling_level(cpus: str, path: str, repeats: int = 3) -> dict:
         n = run_pipeline(docs, PipelineConfig()).triples.count()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
+    out.update(
+        sec=round(best, 3), triples_per_sec=round(n / best, 1), n_triples=n
+    )
+
+    cand_path = path.replace("_docs_", "_cand_")
+    if os.path.exists(cand_path + "/_SUCCESS"):
+        cand = spark.read.parquet(cand_path)
+        cfg = PipelineConfig(scorer=scorer)
+        score_filter_number(cand, cfg).count()  # warm-up
+        sbest, sn = None, 0
+        for _ in range(repeats):
+            t0 = time.time()
+            sn = score_filter_number(cand, cfg).count()
+            dt = time.time() - t0
+            sbest = dt if sbest is None else min(sbest, dt)
+        out.update(
+            score_sec=round(sbest, 3),
+            score_tps=round(sn / sbest, 1),
+            score_backend=scorer,
+        )
     spark.stop()
-    return {
-        "sec": round(best, 3),
-        "triples_per_sec": round(n / best, 1),
-        "n_triples": n,
-    }
+    return out
 
 
 def _spinners(cores: range) -> list:
@@ -185,35 +255,68 @@ def run_scaling() -> dict:
 
     nproc = os.cpu_count() or 32
     equalize = os.environ.get("CTRE_EQUALIZE_CLOCKS", "1") == "1"
-    out = {}
+    rounds = int(os.environ.get("CTRE_SCALING_ROUNDS", "2"))
+    levels = os.environ.get("CTRE_SCALING_LEVELS", "8,32").split(",")
+    out: dict = {}
+    out["round_effs"] = []
     env = dict(os.environ, CTRE_DRIVER_MEM="24g")
-    for cpus in ("8", "32"):
-        # pin the WHOLE process tree (JVM task threads + Python UDF workers)
-        # to exactly `cpus` cores — otherwise local[8]'s Python workers
-        # overflow onto spare cores and the 8-core level is not an 8-core
-        # cluster stand-in
-        cmd = [
-            "taskset", "-c", f"0-{int(cpus) - 1}",
-            sys.executable, os.path.abspath(__file__),
-            "--scaling-level", cpus, path,
-        ]
-        spin = (
-            _spinners(range(int(cpus), nproc))
-            if equalize and int(cpus) < nproc
-            else []
-        )
-        try:
-            r = subprocess.run(
-                cmd, capture_output=True, text=True, env=env, check=True,
+    # INTERLEAVE the levels across rounds: this shared host's throughput
+    # drifts +-15% minute-to-minute, so measuring each level once at
+    # different times turns that drift straight into the efficiency
+    # number; alternating N/4N/N/4N and pairing WITHIN a round samples
+    # both levels under comparable host conditions
+    for _ in range(rounds):
+        pair = {}
+        for cpus in levels:
+            # pin the WHOLE process tree (JVM task threads + Python UDF
+            # workers) to exactly `cpus` cores — otherwise local[8]'s
+            # Python workers overflow onto spare cores and the 8-core
+            # level is not an 8-core cluster stand-in
+            cmd = [
+                "taskset", "-c", f"0-{int(cpus) - 1}",
+                sys.executable, os.path.abspath(__file__),
+                "--scaling-level", cpus, path,
+            ]
+            spin = (
+                _spinners(range(int(cpus), nproc))
+                if equalize and int(cpus) < nproc
+                else []
             )
-        finally:
-            for sp in spin:
-                sp.kill()
-        out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
-    eff = out["32"]["triples_per_sec"] / out["8"]["triples_per_sec"] / 4.0
-    out["scaling_efficiency_8_to_32"] = round(eff, 3)
+            try:
+                r = subprocess.run(
+                    cmd, capture_output=True, text=True, env=env, check=True,
+                )
+            finally:
+                for sp in spin:
+                    sp.kill()
+            lvl = json.loads(r.stdout.strip().splitlines()[-1])
+            pair[cpus] = lvl
+            if cpus not in out or lvl["sec"] < out[cpus]["sec"]:
+                out[cpus] = lvl
+        ratio = int(levels[-1]) / int(levels[0])
+        out["round_effs"].append(
+            round(
+                pair[levels[-1]]["triples_per_sec"]
+                / pair[levels[0]]["triples_per_sec"] / ratio, 3,
+            )
+        )
+        # stream each completed round so a timeout loses nothing
+        print(json.dumps({"round_pair": pair,
+                          "round_eff": out["round_effs"][-1]}),
+              file=sys.stderr, flush=True)
+    lo, hi = levels[0], levels[-1]
+    ratio = int(hi) / int(lo)
+    out[f"scaling_efficiency_{lo}_to_{hi}"] = round(
+        out[hi]["triples_per_sec"] / out[lo]["triples_per_sec"] / ratio, 3
+    )
+    if "score_tps" in out[lo] and "score_tps" in out[hi]:
+        out[f"score_stage_efficiency_{lo}_to_{hi}"] = round(
+            out[hi]["score_tps"] / out[lo]["score_tps"] / ratio, 3
+        )
+    out["best_round_eff"] = max(out["round_effs"])
     out["replication"] = SCALE_REPL
     out["clock_equalized"] = equalize
+    out["rounds"] = rounds
     return out
 
 
