@@ -146,6 +146,22 @@ def _q_micro_prf(spark: SparkSession, sf: str) -> DataFrame:
     return micro_prf(_q_eval_prf(spark, sf))
 
 
+def _q_graph_degree(spark: SparkSession, sf: str) -> DataFrame:
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        q_graph_degree,
+    )
+
+    return q_graph_degree(spark, sf)
+
+
+def _q_graph_two_hop(spark: SparkSession, sf: str) -> DataFrame:
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        q_graph_two_hop,
+    )
+
+    return q_graph_two_hop(spark, sf)
+
+
 def _q_binary_triples(spark: SparkSession, sf: str) -> DataFrame:
     from clinicaltransformerrelationextraction_spark.operators.binarymode import (
         q_binary_triples,
@@ -227,6 +243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_stats": _q_rel_stats,
         "q_eval_prf": _q_eval_prf,
         "q_micro_prf": _q_micro_prf,
+        "q_graph_degree": _q_graph_degree,
+        "q_graph_two_hop": _q_graph_two_hop,
         "q_brat_render": _q_brat_render,
         "q_binary_triples": _q_binary_triples,
         "q_tokenized_features": _q_tokenized_features,
@@ -248,6 +266,8 @@ def oracle_sql() -> dict[str, str]:
         "q_rel_stats": oracle.q_rel_stats(),
         "q_eval_prf": oracle.q_eval_prf(),
         "q_micro_prf": oracle.q_micro_prf(),
+        "q_graph_degree": oracle.q_graph_degree(),
+        "q_graph_two_hop": oracle.q_graph_two_hop(),
         "q_brat_render": oracle.q_brat_render(),
         "q_binary_triples": oracle.q_binary_triples(),
         "q_tokenized_features": oracle.q_tokenized_features(),

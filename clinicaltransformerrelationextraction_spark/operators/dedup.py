@@ -174,6 +174,70 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(F.col("jaccard") >= JACCARD_MIN)
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the
+    Jaccard-verified LSH pairs, every doc labeled with the min doc_id of
+    its component (the keeper), singletons keeping themselves — the final
+    keeper-assignment step of a dedup pipeline.
+
+    Iterative min-label propagation (Pregel-lite): comp(v) <-
+    min(comp(v), min over neighbors comp(u)) until a fixpoint, lineage cut
+    per iteration with localCheckpoint. Iteration count is the component
+    diameter — near-dup clusters are tiny (pairs of template-mutated docs),
+    so this converges in 1-3 rounds here; at 10^9 docs you would switch to
+    the large-star/small-star contraction (same join primitive, O(log n)
+    rounds). The DuckDB oracle computes the same fixpoint as a recursive
+    transitive closure + min."""
+    pairs = q_dedup_jaccard(spark, sf).select("doc_a", "doc_b")
+    docs = _docs(spark, sf).select("doc_id")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .withColumnRenamed("doc_a", "src")
+        .withColumnRenamed("doc_b", "dst")
+        .localCheckpoint()
+    )
+    labels = docs.withColumn("cluster_id", F.col("doc_id")).localCheckpoint()
+    while True:
+        prop = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("src"),
+                    F.col("cluster_id").alias("src_comp"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("src_comp").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("neigh_min", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumn(
+        "is_keeper", (F.col("doc_id") == F.col("cluster_id")).cast("int")
+    )
+
+
 def simhash_col(toks: Column) -> Column:
     """16-bit SimHash over distinct tokens: bit j is the majority of bit j
     of md5(token) across tokens (ties -> 1)."""

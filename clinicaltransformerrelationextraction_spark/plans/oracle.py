@@ -197,6 +197,36 @@ JOIN surf s2 ON s2.doc_id = t.doc_id AND s2.i = t.i2
 """
 
 
+_LINKED_CTES = """
+surf AS (SELECT doc_id, i, tok FROM toks),
+linked AS (
+  SELECT t.doc_id, t.rel_id, t.pred,
+    'E_' || s1.tok AS subj_canonical,
+    'E_' || s2.tok AS obj_canonical, t.score
+  FROM triples t
+  JOIN surf s1 ON s1.doc_id = t.doc_id AND s1.i = t.i1
+  JOIN surf s2 ON s2.doc_id = t.doc_id AND s2.i = t.i2
+)"""
+
+
+def q_graph_degree() -> str:
+    return f"""{PIPELINE_PREFIX},{PRED_CTE},{TRIPLES_CTE},{_LINKED_CTES}
+SELECT subj_canonical AS entity, count(*)::BIGINT AS out_degree,
+  count(DISTINCT obj_canonical)::BIGINT AS n_neighbors,
+  count(DISTINCT pred)::BIGINT AS n_predicates
+FROM linked GROUP BY 1
+"""
+
+
+def q_graph_two_hop() -> str:
+    return f"""{PIPELINE_PREFIX},{PRED_CTE},{TRIPLES_CTE},{_LINKED_CTES},
+e AS (SELECT DISTINCT subj_canonical, pred, obj_canonical FROM linked)
+SELECT a.pred AS p1, b.pred AS p2, count(*)::BIGINT AS n_paths
+FROM e a JOIN e b ON a.obj_canonical = b.subj_canonical
+GROUP BY 1, 2
+"""
+
+
 def q_rel_stats() -> str:
     return f"""{PIPELINE_PREFIX},{PRED_CTE},{TRIPLES_CTE},
 surf AS (SELECT doc_id, i, tok FROM toks)

@@ -87,6 +87,38 @@ FROM ex WHERE inter / uni >= {JACCARD_MIN}
 """
 
 
+def q_dedup_clusters() -> str:
+    # transitive closure + min per source = the same connected-components
+    # fixpoint the Spark label-propagation loop converges to
+    return f"""
+WITH RECURSIVE {_SHINGLES.strip()}, {_MH.strip()}, {_BANDS.strip()},
+{_PAIRS.strip()},
+ex AS (
+  SELECT p.doc_a, p.doc_b,
+    len(list_intersect(a.shingles, b.shingles))::INT AS inter,
+    (len(a.shingles) + len(b.shingles)
+     - len(list_intersect(a.shingles, b.shingles)))::INT AS uni
+  FROM mpairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b
+),
+jp AS (SELECT doc_a, doc_b FROM ex WHERE inter / uni >= {JACCARD_MIN}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL
+  SELECT doc_b, doc_a FROM jp
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT src AS doc_id, min(dst)::BIGINT AS cluster_id,
+  (CASE WHEN src = min(dst) THEN 1 ELSE 0 END)::INT AS is_keeper
+FROM reach GROUP BY src
+"""
+
+
 _SIMHASH = f"""
 dt AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
