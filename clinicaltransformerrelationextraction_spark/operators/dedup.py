@@ -49,13 +49,18 @@ def shingles_col(toks: Column, n: int = 2) -> Column:
     return F.array_distinct(joined)
 
 
-def minhash_cols(shingles: Column, n_seeds: int = N_SEEDS) -> list[Column]:
-    """One min-hash per seed: min(md5('<seed>|<shingle>'))."""
+def minhash_cols(digests: Column, n_seeds: int = N_SEEDS) -> list[Column]:
+    """One min-hash per seed: min over shingles of the seed's 4-hex-char
+    slice of the shingle's single md5 digest — ONE strong hash per shingle,
+    k projections (the standard way to avoid k independent hash passes).
+    16-bit slices are plenty: the hash range (65,536) is >> per-doc shingle
+    counts (hundreds), which is what minhash quality needs. Measured note:
+    wall time is flat vs md5-per-seed at sf0.1 — interpreted HOF
+    element iteration, not hashing, dominates this stage; the win is CPU
+    per element at scale, not the local benchmark."""
     return [
         F.array_min(
-            F.transform(
-                shingles, lambda x: F.md5(F.concat(F.lit(f"{s}|"), x))
-            )
+            F.transform(digests, lambda d: F.substring(d, 1 + 4 * s, 4))
         ).alias(f"mh{s}")
         for s in range(n_seeds)
     ]
@@ -67,6 +72,22 @@ def _with_shingles(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select(
         "doc_id", shingles_col(toks).alias("shingles")
     ).filter(F.size("shingles") > 0)
+
+
+def _with_digests(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, shingles, digs): one md5 digest per shingle, materialized
+    ONCE via an explode(array(...)) Generate barrier so the 8 per-seed
+    array_min projections reference an attribute instead of re-evaluating
+    the md5 transform (Catalyst does not CSE across separate HOF lambdas).
+    """
+    sh = _with_shingles(spark, sf)
+    return sh.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(F.transform(F.col("shingles"), lambda x: F.md5(x)))
+        ).alias("digs"),
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -83,16 +104,16 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, seed, mh) — the per-doc MinHash signature."""
-    sh = _with_shingles(spark, sf)
-    sig = sh.select("doc_id", F.array(*minhash_cols(F.col("shingles"))).alias("sig"))
+    sh = _with_digests(spark, sf)
+    sig = sh.select("doc_id", F.array(*minhash_cols(F.col("digs"))).alias("sig"))
     return sig.select(
         "doc_id", F.posexplode("sig").alias("seed", "mh")
     ).select("doc_id", F.col("seed").cast("int").alias("seed"), "mh")
 
 
 def _bands(spark: SparkSession, sf: str) -> DataFrame:
-    sh = _with_shingles(spark, sf)
-    mhs = minhash_cols(F.col("shingles"))
+    sh = _with_digests(spark, sf)
+    mhs = minhash_cols(F.col("digs"))
     n_bands = N_SEEDS // BAND_ROWS
     band_keys = F.array(
         *[

@@ -28,7 +28,7 @@ sh AS (
 _MH = f"""
 mh AS (
   SELECT doc_id, s.seed::INT AS seed,
-         min(md5(s.seed || '|' || sg.s)) AS mh
+         min(substring(md5(sg.s), 1 + 4 * s.seed, 4)) AS mh
   FROM sh, UNNEST(shingles) sg(s), UNNEST(range(0, {N_SEEDS})) s(seed)
   GROUP BY doc_id, s.seed
 )"""
