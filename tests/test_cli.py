@@ -1,0 +1,73 @@
+"""The CLI surface (the reference's relation_extraction/batch_prediction
+argument shape) drives the whole engine end to end."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from clinicaltransformerrelationextraction_spark.cli import main
+from clinicaltransformerrelationextraction_spark.config import PipelineConfig
+from clinicaltransformerrelationextraction_spark.plans.pipeline import (
+    load_documents,
+    run_pipeline,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _input(spark, tmp_path, n=120):
+    docs = load_documents(spark, SF_SMOKE).limit(n)
+    p = str(tmp_path / "docs_in")
+    docs.write.mode("overwrite").parquet(p)
+    return p, docs
+
+
+def test_cli_predict_ledger(spark, tmp_path):
+    inp, docs = _input(spark, tmp_path)
+    out = str(tmp_path / "run")
+    res = main(
+        ["predict", "--input", inp, "--output", out, "--n-buckets", "4"],
+        spark=spark,
+    )
+    want = run_pipeline(docs, PipelineConfig()).triples.count()
+    assert res["n_triples"] == want
+    assert spark.read.parquet(out + "/brat").count() > 0
+    # resume over a finished run is a no-op with the same totals
+    res2 = main(
+        ["resume", "--input", inp, "--output", out, "--n-buckets", "4"],
+        spark=spark,
+    )
+    assert res2["n_triples"] == want
+
+
+def test_cli_predict_binary_and_config_json(spark, tmp_path):
+    inp, docs = _input(spark, tmp_path)
+    out = str(tmp_path / "runb")
+    cfg_file = tmp_path / "cfg.json"
+    cfg_file.write_text(json.dumps({"max_pairs_per_doc": 500}))
+    res = main(
+        ["predict", "--input", inp, "--output", out, "--binary-mode",
+         "--config-json", str(cfg_file)],
+        spark=spark,
+    )
+    assert res["mode"] == "binary"
+    trip = spark.read.parquet(out + "/triples")
+    labels = {r.pred for r in trip.select("pred").distinct().collect()}
+    assert labels and "NonRel" not in labels
+
+
+def test_cli_eval(spark, tmp_path):
+    inp, docs = _input(spark, tmp_path)
+    trip = run_pipeline(docs, PipelineConfig()).triples
+    g = str(tmp_path / "gold")
+    s = str(tmp_path / "sys")
+    trip.write.mode("overwrite").parquet(g)
+    # system = gold minus one doc -> recall < 1, precision = 1
+    some_doc = trip.select("doc_id").first().doc_id
+    trip.filter(F.col("doc_id") != some_doc).write.mode(
+        "overwrite"
+    ).parquet(s)
+    res = main(["eval", "--system", s, "--gold", g], spark=spark)
+    assert res["precision"] == 1.0 and res["recall"] < 1.0
+    assert res["fn"] > 0 and res["fp"] == 0
