@@ -5,9 +5,14 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 {"metric": ..., "value": <total sec>, "unit": "sec",
  "queries": {name: sec}, "sf": ..., "triples_per_sec": ...}
 
---scaling: additionally runs the flagship pipeline at local[8] and local[32]
-on the same input and reports throughput at both plus scaling efficiency
-(the sandbox stand-in for N vs 4N executors; results land in BENCH.md).
+--scaling: runs the flagship pipeline AND the scoring stage at two
+multi-executor sizes (local-cluster[2,4,*] vs local-cluster[8,4,*] by
+default — real executor JVM processes), taskset-pinned and
+clock-equalized, in interleaved rounds; reports throughput at both levels
+plus per-round and best scaling efficiencies (the sandbox stand-in for N
+vs 4N executors; methodology + results in BENCH.md). Env knobs:
+CTRE_SCALING_{REPL,ROUNDS,REPEATS,LEVELS,SCORER,MASTER},
+CTRE_EQUALIZE_CLOCKS.
 """
 
 from __future__ import annotations
@@ -50,7 +55,6 @@ def _warm_python_workers(spark) -> None:
     """Start one Python UDF worker per core before timing: worker startup
     (numpy/pandas import, ~10 s across 32 workers) is environment overhead,
     not query cost, and is amortized away on any long-running cluster."""
-    import pandas as pd
 
     def _identity(batches):
         for b in batches:

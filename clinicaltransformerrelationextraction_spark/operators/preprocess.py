@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..config import VALID_COMBS, PipelineConfig
+from ..config import PipelineConfig
 
 __all__ = ["deidentify", "q_deid", "q_validate_rels", "q_seeded_sample"]
 

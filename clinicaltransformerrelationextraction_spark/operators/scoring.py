@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..config import LABELS, STUB_W2, STUB_W3, PipelineConfig
+from ..config import STUB_W2, STUB_W3, PipelineConfig
 
 __all__ = ["score_candidates", "stub_logits", "truncate_pair"]
 

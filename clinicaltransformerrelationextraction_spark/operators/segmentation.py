@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import PipelineConfig
-from .candidates import mentions_col, tokens_col
+from .candidates import tokens_col
 
 __all__ = ["sentences", "mentions", "segment_pages_udf"]
 
