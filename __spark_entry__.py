@@ -162,6 +162,14 @@ def _q_graph_two_hop(spark: SparkSession, sf: str) -> DataFrame:
     return q_graph_two_hop(spark, sf)
 
 
+def _q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        q_graph_pagerank,
+    )
+
+    return q_graph_pagerank(spark, sf)
+
+
 def _q_binary_triples(spark: SparkSession, sf: str) -> DataFrame:
     from clinicaltransformerrelationextraction_spark.operators.binarymode import (
         q_binary_triples,
@@ -245,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_micro_prf": _q_micro_prf,
         "q_graph_degree": _q_graph_degree,
         "q_graph_two_hop": _q_graph_two_hop,
+        "q_graph_pagerank": _q_graph_pagerank,
         "q_brat_render": _q_brat_render,
         "q_binary_triples": _q_binary_triples,
         "q_tokenized_features": _q_tokenized_features,
@@ -268,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "q_micro_prf": oracle.q_micro_prf(),
         "q_graph_degree": oracle.q_graph_degree(),
         "q_graph_two_hop": oracle.q_graph_two_hop(),
+        "q_graph_pagerank": oracle.q_graph_pagerank(),
         "q_brat_render": oracle.q_brat_render(),
         "q_binary_triples": oracle.q_binary_triples(),
         "q_tokenized_features": oracle.q_tokenized_features(),

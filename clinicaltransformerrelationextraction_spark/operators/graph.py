@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 
-__all__ = ["q_graph_degree", "q_graph_two_hop"]
+__all__ = ["q_graph_degree", "q_graph_two_hop", "q_graph_pagerank"]
+
+PR_ITERS = 3  # fixed iteration count (cross-engine: both run exactly K)
+PR_UNIT = 1_000_000  # micro-unit fixed point; all arithmetic is integer
 
 
 def _linked(spark: SparkSession, sf: str) -> DataFrame:
@@ -33,6 +36,66 @@ def q_graph_degree(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("obj_canonical").alias("n_neighbors"),
         F.countDistinct("pred").alias("n_predicates"),
     )
+
+
+def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the canonical entity graph — the iterative-algorithm
+    showcase, still FULLY oracle-checked because every step is exact
+    integer arithmetic in micro-units:
+
+        rank_0(v)   = PR_UNIT
+        rank_t+1(v) = 0.15*PR_UNIT + 0.85 * sum_{u->v} rank_t(u) // out(u)
+
+    computed as ``150000 + (85 * S) // 100`` with floor divisions — both
+    engines produce bit-identical bigints, no float order-dependence.
+    Exactly PR_ITERS rounds (a fixed-power iteration, not convergence
+    detection — the contract a recursive-CTE oracle can mirror). Spark
+    side is the standard edge-join power iteration with lineage cut per
+    round; dangling nodes simply contribute nothing (their mass exits,
+    the usual simplification)."""
+    edges = (
+        _linked(spark, sf)
+        .select(
+            F.col("subj_canonical").alias("src"),
+            F.col("obj_canonical").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("entity"))
+        .unionByName(edges.select(F.col("dst").alias("entity")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(PR_UNIT).cast("long"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("entity").alias("src"), "rank"), "src"
+            )
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("entity"),
+                F.floor(F.col("rank") / F.col("outdeg"))
+                .cast("long").alias("c"),
+            )
+            .groupBy("entity")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "entity", "left")
+            .select(
+                "entity",
+                (
+                    F.lit(150_000)
+                    + F.floor(85 * F.coalesce(F.col("s"), F.lit(0)) / 100)
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
 
 
 def q_graph_two_hop(spark: SparkSession, sf: str) -> DataFrame:

@@ -218,6 +218,43 @@ FROM linked GROUP BY 1
 """
 
 
+def q_graph_pagerank() -> str:
+    """Integer-exact power iteration, unrolled PR_ITERS times (SQL forbids
+    aggregates in a recursive term, and a FIXED iteration count is the
+    cross-engine contract anyway)."""
+    from ..operators.graph import PR_ITERS, PR_UNIT
+
+    # MATERIALIZED hints are load-bearing: without them DuckDB inlines
+    # every CTE reference and the unrolled iteration expands the heavy
+    # pipeline subtree exponentially (observed: planner OOM on a 10-node
+    # graph). Materializing each level pins one evaluation per CTE.
+    steps = []
+    prev = "pr0"
+    for k in range(1, PR_ITERS + 1):
+        steps.append(f"""
+pr{k} AS MATERIALIZED (
+  SELECT n.entity,
+    (150000 + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS entity, sum(p.rank // o.outdeg)::BIGINT AS s
+    FROM e JOIN {prev} p ON p.entity = e.src JOIN od o ON o.src = e.src
+    GROUP BY e.dst
+  ) c ON c.entity = n.entity
+)""")
+        prev = f"pr{k}"
+    unrolled = ",".join(s.strip() for s in steps)
+    return f"""{PIPELINE_PREFIX},{PRED_CTE},{TRIPLES_CTE},{_LINKED_CTES},
+e AS MATERIALIZED (
+  SELECT DISTINCT subj_canonical AS src, obj_canonical AS dst FROM linked),
+nodes AS MATERIALIZED (
+  SELECT src AS entity FROM e UNION SELECT dst FROM e),
+od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+pr0 AS MATERIALIZED (SELECT entity, {PR_UNIT}::BIGINT AS rank FROM nodes),
+{unrolled}
+SELECT entity, rank FROM {prev}
+"""
+
+
 def q_graph_two_hop() -> str:
     return f"""{PIPELINE_PREFIX},{PRED_CTE},{TRIPLES_CTE},{_LINKED_CTES},
 e AS (SELECT DISTINCT subj_canonical, pred, obj_canonical FROM linked)
