@@ -40,6 +40,27 @@ HEADLINE = [
     "q_tpch_q5",          # 5-way join with broadcast dims
 ]
 
+# heavy/iterative queries benched IN ADDITION to the headline set; timed and
+# reported under "queries" + "extra_value" but excluded from "value" so the
+# headline total stays comparable across rounds (r01/r02 recorded only the
+# 10 queries above)
+EXTRA = [
+    "q_graph_pagerank",   # iterative integer PageRank (per-round lineage cut)
+    "q_dedup_clusters",   # label-propagation connected components
+    "q_ann_ivf_topk",     # IVF coarse-quantizer ANN
+]
+
+# noise defense (the r02 lesson: one unlucky driver sample defined the
+# round): 1 warm-up + median of CTRE_BENCH_REPEATS timed runs per query,
+# all samples reported
+BENCH_REPEATS = int(os.environ.get("CTRE_BENCH_REPEATS", "3"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
 
 def _session(cpus: str):
     from clinicaltransformerrelationextraction_spark.session import get_spark
@@ -66,6 +87,22 @@ def _warm_python_workers(spark) -> None:
     ).count()
 
 
+def _time_query(qfn, spark, repeats: int) -> tuple[float, list[float], int]:
+    """1 warm-up + ``repeats`` timed executions; returns (median, samples,
+    rowcount). Each execution rebuilds the DataFrame so no Spark-side
+    caching survives between samples — only OS page cache (steady-state),
+    which is exactly the warm-cluster condition the headline measures."""
+    qfn(spark, SF_DIR).count()  # warm-up (JIT, page cache, codegen)
+    samples: list[float] = []
+    cnt = 0
+    for _ in range(repeats):
+        df = qfn(spark, SF_DIR)
+        t0 = time.time()
+        cnt = df.count()
+        samples.append(round(time.time() - t0, 3))
+    return round(_median(samples), 3), samples, cnt
+
+
 def run_bench() -> dict:
     import __spark_entry__ as entry
 
@@ -73,15 +110,16 @@ def run_bench() -> dict:
     _warm_python_workers(spark)
     qs = entry.queries()
     timings: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     n_triples = 0
-    for name in HEADLINE:
-        df = qs[name](spark, SF_DIR)
-        t0 = time.time()
-        cnt = df.count()
-        timings[name] = round(time.time() - t0, 3)
+    for name in HEADLINE + EXTRA:
+        med, samples, cnt = _time_query(qs[name], spark, BENCH_REPEATS)
+        timings[name] = med
+        all_samples[name] = samples
         if name == "q_triples":
             n_triples = cnt
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings[n] for n in HEADLINE), 3)
+    extra_total = round(sum(timings[n] for n in EXTRA), 3)
     triples_per_sec = (
         round(n_triples / timings["q_triples"], 1)
         if timings.get("q_triples")
@@ -89,11 +127,14 @@ def run_bench() -> dict:
     )
     spark.stop()
     return {
-        "metric": "headline query wall time (sf%s, local[%s])"
-        % (SF_DIR.rstrip("/").rsplit("sf", 1)[-1], CPUS),
+        "metric": "headline query wall time, median of %d after warm-up "
+        "(sf%s, local[%s]); extras benched separately"
+        % (BENCH_REPEATS, SF_DIR.rstrip("/").rsplit("sf", 1)[-1], CPUS),
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": all_samples,
+        "extra_value": extra_total,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "n_triples": n_triples,
         "triples_per_sec": triples_per_sec,

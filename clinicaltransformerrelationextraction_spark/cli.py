@@ -63,6 +63,7 @@ def _cfg_from(args: argparse.Namespace) -> PipelineConfig:
         max_seq_len=args.max_seq_length,
         batch_size=args.eval_batch_size,
         max_pairs_per_doc=args.max_pairs_per_doc,
+        data_format_mode=args.data_format_mode,
     )
     if args.config_json:
         with open(args.config_json) as f:
@@ -93,7 +94,8 @@ def cmd_predict(args: argparse.Namespace, spark=None) -> dict:
         return {"mode": "binary", "n_triples": n}
 
     if args.n_buckets > 1:
-        run = LedgerRun(out_dir=args.output, n_buckets=args.n_buckets)
+        run = LedgerRun(out_dir=args.output, n_buckets=args.n_buckets,
+                        salt=args.salt)
         ledger = run.run(docs, cfg)
         n = sum(v["n_triples"] for v in ledger.values())
     else:
@@ -115,7 +117,8 @@ def cmd_resume(args: argparse.Namespace, spark=None) -> dict:
 
     spark = spark or get_spark(app_name="ctre-resume")
     docs = spark.read.parquet(args.input)
-    run = LedgerRun(out_dir=args.output, n_buckets=args.n_buckets)
+    run = LedgerRun(out_dir=args.output, n_buckets=args.n_buckets,
+                    salt=args.salt)
     ledger = run.resume(docs, _cfg_from(args))
     return {"n_triples": sum(v["n_triples"] for v in ledger.values()),
             "buckets_done": sum(

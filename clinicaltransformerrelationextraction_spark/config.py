@@ -118,6 +118,10 @@ class PipelineConfig:
     max_pairs_per_doc: int = 10_000  # cap on J1 quadratic blowup; dropped
     # pairs are counted, never silently truncated (SURVEY.md §7.4.4)
     salt_buckets: int = 32  # salting modulus for host-domain skew
-    scorer: str = "stub"  # "stub" | "hf" (transformers, gated import)
+    scorer: str = "stub"  # "stub" | "mlp" | "hf" | any register_scorer name
     max_seq_len: int = 512  # token budget incl. special tokens (U2)
     batch_size: int = 1024  # Arrow batch rows per scorer call
+    # 0 = sep mode [CLS] s1 [SEP] s2 [SEP]; 1 = uni mode [CLS] s1 s2 [SEP]
+    # (reference --data_format_mode, src/task.py:41-49) — routes both the
+    # tokenizer AND the scorer input encoding
+    data_format_mode: int = 0

@@ -346,8 +346,17 @@ def q_simhash_band_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_simhash_hamming_hist(spark: SparkSession, sf: str) -> DataFrame:
     """Histogram of pairwise SimHash hamming distances — the compact
-    correctness check of the near-dup metric space."""
-    sh = q_simhash(spark, sf)
+    correctness check of the near-dup metric space.
+
+    O(N^2) all-pairs cross join: this is the small-corpus correctness TWIN
+    of q_simhash_banded_pairs and is guarded against large inputs — NEVER
+    run it at scale."""
+    from .guards import guard_brute
+
+    sh = guard_brute(
+        q_simhash(spark, sf), "q_simhash_hamming_hist",
+        "q_simhash_banded_pairs",
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     return (

@@ -196,3 +196,104 @@ def q_macro_prf(spark: SparkSession, sf: str) -> DataFrame:
         (F.sum("p_micro") / F.count("*")).alias("macro_p_micro"),
         (F.sum("r_micro") / F.count("*")).alias("macro_r_micro"),
     )
+
+
+# --- training-side loss analytics (A7 mean eval loss / U5 loss functions) ---
+# The reference computes weighted cross-entropy over the relation head
+# (src/model_utils.py:135-178 loss functions; src/task.py:343 mean eval
+# loss). The stub scorer's logits are ONE-HOT, so softmax cross-entropy
+# collapses to exactly two values: -ln(e/(e+n-1)) when gold == argmax and
+# ln(e+n-1) otherwise. Both are inlined as integer micro-unit literals in
+# BOTH engines — every aggregate below is exact bigint arithmetic (the
+# parity discipline: never sum doubles across rows).
+
+LOSS_UNIT = 1_000_000
+
+
+def _loss_units(n_labels: int) -> tuple[int, int]:
+    import math
+
+    denom = math.e + (n_labels - 1)
+    l_match = round((math.log(denom) - 1.0) * LOSS_UNIT)
+    l_miss = round(math.log(denom) * LOSS_UNIT)
+    return l_match, l_miss
+
+
+def _loss_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-gold-class confusion mass of the stub predictions vs the
+    synthetic gold rule (the same rule as q_eval_prf): one grouped pass."""
+    from ..config import GOLD_MOD, GOLD_SHIFT, LABELS, NON_REL
+    from ..plans.pipeline import load_documents
+    from .candidates import candidates
+    from .scoring import score_candidates
+
+    cfg = PipelineConfig()
+    scored = score_candidates(
+        candidates(load_documents(spark, sf), cfg), cfg
+    )
+    lab_arr = F.array(*[F.lit(l) for l in LABELS])
+    gold_idx = (F.col("label_idx") + GOLD_SHIFT) % len(LABELS)
+    with_gold = scored.withColumn(
+        "gold_label",
+        F.when(
+            (3 * F.col("i1") + F.col("i2")) % GOLD_MOD == 0,
+            F.element_at(lab_arr, gold_idx + 1),
+        ).otherwise(F.lit(NON_REL)),
+    )
+    return with_gold.groupBy(F.col("gold_label").alias("label")).agg(
+        F.count("*").alias("n_gold"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("gold_label"), 1).otherwise(0)
+        ).alias("n_match"),
+    )
+
+
+def q_loss_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """U5 analog — per-class weighted cross-entropy aggregation in exact
+    fixed point. Class weight w_u = (total * UNIT) div (n_labels * n_gold)
+    (the balanced inverse-frequency heuristic the reference's weighted CE
+    takes as input); per-class loss_u = w_u * (n_match*L_MATCH_U +
+    n_miss*L_MISS_U), all bigint. loss_u is in UNIT^2 (1e-12) units —
+    safe to ~1e7 examples per class before int64 overflow; a larger run
+    re-scales UNIT."""
+    from ..config import LABELS
+
+    l_match, l_miss = _loss_units(len(LABELS))
+    counts = _loss_counts(spark, sf)
+    totals = counts.agg(F.sum("n_gold").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "label", "n_gold", "n_match",
+            (F.col("n_gold") - F.col("n_match")).alias("n_miss"),
+            F.expr(
+                f"(total * {LOSS_UNIT}) div ({len(LABELS)} * n_gold)"
+            ).alias("w_u"),
+        )
+        .select(
+            "label", "n_gold", "n_match", "n_miss", "w_u",
+            (
+                F.col("w_u")
+                * (
+                    F.col("n_match") * F.lit(l_match)
+                    + F.col("n_miss") * F.lit(l_miss)
+                )
+            ).alias("loss_u"),
+        )
+    )
+
+
+def q_loss_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 analog — mean weighted eval loss (src/task.py:343
+    ``eval_loss / n``) over all candidates, exact: sum the per-class
+    bigint losses, one integral division at the end (result in micro
+    units of weighted nats)."""
+    per_class = q_loss_weighted(spark, sf)
+    return per_class.agg(
+        F.sum("n_gold").alias("n_examples"),
+        F.sum("loss_u").alias("total_loss_u"),
+    ).select(
+        "n_examples", "total_loss_u",
+        F.expr(f"total_loss_u div (n_examples * {LOSS_UNIT})")
+        .alias("mean_loss_u"),
+    )

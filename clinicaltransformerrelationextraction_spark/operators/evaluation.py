@@ -84,9 +84,16 @@ def relation_match_prf(sys_triples: DataFrame, gold_triples: DataFrame,
     keys = list(keys)
     s = sys_triples.select(*keys).distinct().withColumn("in_sys", F.lit(1))
     g = gold_triples.select(*keys).distinct().withColumn("in_gold", F.lit(1))
-    # ONE full-outer join aggregated to (tp, fp, fn) in a single action —
-    # the three-count form recomputes both inputs three times
-    counts = (
+    # ONE full-outer join aggregated to (tp, fp, fn); the derived metrics
+    # are lazy column expressions, so the whole gate stays a single
+    # composable Spark plan (no .first()/createDataFrame round-trip)
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    p = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    r = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    f1 = F.when(
+        2 * tp + fp + fn > 0, 2 * tp / (2 * tp + fp + fn)
+    ).otherwise(F.lit(0.0))
+    return (
         s.join(g, keys, "full_outer")
         .agg(
             F.sum(
@@ -102,16 +109,10 @@ def relation_match_prf(sys_triples: DataFrame, gold_triples: DataFrame,
                 "fn"
             ),
         )
-        .first()
-    )
-    tp, fp, fn = counts["tp"], counts["fp"], counts["fn"]
-    spark = sys_triples.sparkSession
-    p = tp / (tp + fp) if tp + fp else 0.0
-    r = tp / (tp + fn) if tp + fn else 0.0
-    f1 = 2 * p * r / (p + r) if p + r else 0.0
-    return spark.createDataFrame(
-        [(tp, fp, fn, p, r, f1)],
-        ["tp", "fp", "fn", "precision", "recall", "f1"],
+        .select(
+            "tp", "fp", "fn",
+            p.alias("precision"), r.alias("recall"), f1.alias("f1"),
+        )
     )
 
 

@@ -46,8 +46,10 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         rank_0(v)   = PR_UNIT
         rank_t+1(v) = 0.15*PR_UNIT + 0.85 * sum_{u->v} rank_t(u) // out(u)
 
-    computed as ``150000 + (85 * S) // 100`` with floor divisions — both
-    engines produce bit-identical bigints, no float order-dependence.
+    computed as ``150000 + (85 * S) // 100`` with integral divisions
+    (Spark ``div``, never floor-of-double: doubles lose exactness past
+    2^53) — both engines produce bit-identical bigints on the
+    non-negative rank domain, no float order-dependence.
     Exactly PR_ITERS rounds (a fixed-power iteration, not convergence
     detection — the contract a recursive-CTE oracle can mirror). Spark
     side is the standard edge-join power iteration with lineage cut per
@@ -78,8 +80,9 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             .join(outdeg, "src")
             .select(
                 F.col("dst").alias("entity"),
-                F.floor(F.col("rank") / F.col("outdeg"))
-                .cast("long").alias("c"),
+                # integral `div`, NOT floor(double /): floor-of-double
+                # diverges from integer // once operands near 2^53
+                F.expr("rank div outdeg").cast("long").alias("c"),
             )
             .groupBy("entity")
             .agg(F.sum("c").alias("s"))
@@ -89,8 +92,8 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             .select(
                 "entity",
                 (
-                    F.lit(150_000)
-                    + F.floor(85 * F.coalesce(F.col("s"), F.lit(0)) / 100)
+                    F.lit(150_000).cast("long")
+                    + F.expr("(85 * coalesce(s, 0L)) div 100")
                 ).cast("long").alias("rank"),
             )
             .localCheckpoint()

@@ -59,37 +59,62 @@ def q_validate_rels(spark: SparkSession, sf: str) -> DataFrame:
     'ok' / 'rejected' by exact (t1, t2) membership in the valid set;
     output is the (status, type-pair) census so both streams are visible.
     In a production pipeline the 'rejected' partition is the side-output
-    sink (the reference prints "invalid:" and drops)."""
+    sink (the reference prints "invalid:" and drops).
+
+    Plan: the census is computed ARITHMETICALLY from per-(doc, sentence,
+    type) mention counts — pairs(t1@a, t2@b, |a-b|<=cutoff) =
+    sum(c1(a,t1) * c2(b,t2)) minus the self-pair diagonal (total mentions
+    of t when t1==t2). The only join keys on (doc_id, sent_id) of the
+    AGGREGATED count table — bounded by sentences×types, never the
+    quadratic mention-level self-join (a mention-heavy page contributes
+    counts, not pair rows)."""
+    from .candidates import comb_map_col
     from .segmentation import mentions
 
     cfg = PipelineConfig()
     men = mentions(spark.read.parquet(f"{sf}/documents.parquet"), cfg)
-    m1 = men.select(
-        "doc_id", F.col("tok_idx").alias("i1"),
-        F.col("ent_type").alias("ent_type_1"),
-        F.col("sent_id").alias("s1"),
+    cnt = men.groupBy("doc_id", "sent_id", "ent_type").agg(
+        F.count("*").alias("c")
     )
-    m2 = men.select(
-        "doc_id", F.col("tok_idx").alias("i2"),
-        F.col("ent_type").alias("ent_type_2"),
-        F.col("sent_id").alias("s2"),
+    # each (doc, sent b, t2) count row targets every anchor sentence
+    # a = b + o, o in [-cutoff, cutoff]; a fixed (a, b) pair matches
+    # exactly one offset, so every ordered pair is counted once
+    offsets = [
+        F.col("sent_id") + F.lit(o)
+        for o in range(-cfg.cutoff, cfg.cutoff + 1)
+    ]
+    c2e = cnt.select(
+        "doc_id", F.explode(F.array(*offsets)).alias("anchor"),
+        F.col("ent_type").alias("ent_type_2"), F.col("c").alias("c2"),
     )
-    pairs = m1.join(m2, "doc_id").filter(
-        (F.col("i1") != F.col("i2"))
-        & (F.abs(F.col("s1") - F.col("s2")) <= cfg.cutoff)
+    c1 = cnt.select(
+        "doc_id", F.col("sent_id").alias("anchor"),
+        F.col("ent_type").alias("ent_type_1"), F.col("c").alias("c1"),
     )
-    from .candidates import comb_map_col
-
+    raw = (
+        c1.join(c2e, ["doc_id", "anchor"])
+        .groupBy("ent_type_1", "ent_type_2")
+        .agg(F.sum(F.col("c1") * F.col("c2")).alias("n_raw"))
+    )
+    # subtract the i1 == i2 diagonal: a mention pairs with itself exactly
+    # once (the a == b term of its own type)
+    diag = men.groupBy(F.col("ent_type").alias("ent_type_1")).agg(
+        F.count("*").alias("n_self")
+    ).withColumn("ent_type_2", F.col("ent_type_1"))
     valid = F.array_contains(
         comb_map_col(cfg)[F.col("ent_type_1")], F.col("ent_type_2")
     )
     return (
-        pairs.withColumn(
+        raw.join(diag, ["ent_type_1", "ent_type_2"], "left")
+        .select(
             # NULL map lookup (t1 not an arg1 type) falls to 'rejected'
-            "status", F.when(valid, F.lit("ok")).otherwise(F.lit("rejected"))
+            F.when(valid, F.lit("ok")).otherwise(F.lit("rejected"))
+            .alias("status"),
+            "ent_type_1", "ent_type_2",
+            (F.col("n_raw") - F.coalesce(F.col("n_self"), F.lit(0)))
+            .alias("n"),
         )
-        .groupBy("status", "ent_type_1", "ent_type_2")
-        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 0)
     )
 
 

@@ -34,7 +34,10 @@ from pyspark.sql import types as T
 
 from ..config import STUB_W2, STUB_W3, PipelineConfig
 
-__all__ = ["score_candidates", "stub_logits", "truncate_pair"]
+__all__ = [
+    "score_candidates", "stub_logits", "truncate_pair",
+    "register_scorer", "SCORER_REGISTRY",
+]
 
 
 def stub_logits(s1: pd.Series, s2: pd.Series, i1: pd.Series, i2: pd.Series,
@@ -91,16 +94,29 @@ def truncate_pair(toks_a: list[str], toks_b: list[str], budget: int,
     return a, b
 
 
-def _make_stub_scorer(labels: list[str]) -> Callable[[pd.DataFrame], tuple[np.ndarray, np.ndarray]]:
+def _make_stub_scorer(cfg: PipelineConfig, labels: list[str]) -> Callable[[pd.DataFrame], tuple[np.ndarray, np.ndarray]]:
     n = len(labels)
+    uni = cfg.data_format_mode == 1
 
     def scorer(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-        logits = stub_logits(pdf["s1_marked"], pdf["s2_marked"],
-                             pdf["i1"], pdf["i2"], n)
-        # softmax for the score column; stub logits are one-hot so the
-        # predicted-class probability is a constant — we instead emit the
-        # oracle-checkable deterministic score (idx+1)/n.
-        idx = logits.argmax(axis=1)
+        if uni:
+            # uni mode scores ONE sequence "s1 s2" (src/task.py:41-49):
+            # idx over the concatenated length (the +1 is the join space)
+            idx = (
+                pdf["s1_marked"].str.len().to_numpy(np.int64)
+                + pdf["s2_marked"].str.len().to_numpy(np.int64) + 1
+                + STUB_W3 * (
+                    pdf["i1"].to_numpy(np.int64)
+                    + pdf["i2"].to_numpy(np.int64)
+                )
+            ) % n
+        else:
+            logits = stub_logits(pdf["s1_marked"], pdf["s2_marked"],
+                                 pdf["i1"], pdf["i2"], n)
+            # softmax for the score column; stub logits are one-hot so the
+            # predicted-class probability is a constant — we instead emit
+            # the oracle-checkable deterministic score (idx+1)/n.
+            idx = logits.argmax(axis=1)
         score = (idx + 1) / float(n)
         return idx, score
 
@@ -111,7 +127,7 @@ FEAT_DIM = 512
 HIDDEN_DIM = 256
 
 
-def _make_mlp_scorer(labels: list[str]):
+def _make_mlp_scorer(cfg: PipelineConfig, labels: list[str]):
     """Compute-realistic deterministic backend: hashed bag-of-token features
     of both marked sentences (the scheme-2 idea — entity-marker context
     concatenated, src/models.py:51-52) through a seeded 2-layer MLP, batched
@@ -122,6 +138,7 @@ def _make_mlp_scorer(labels: list[str]):
     import zlib
 
     n = len(labels)
+    uni = cfg.data_format_mode == 1
     rng = np.random.default_rng(13)
     w1 = rng.standard_normal((FEAT_DIM, HIDDEN_DIM)) / np.sqrt(FEAT_DIM)
     w2 = rng.standard_normal((HIDDEN_DIM, n)) / np.sqrt(HIDDEN_DIM)
@@ -141,6 +158,17 @@ def _make_mlp_scorer(labels: list[str]):
         for r, (s1, s2) in enumerate(
             zip(pdf["s1_marked"].to_numpy(), pdf["s2_marked"].to_numpy())
         ):
+            if uni:
+                # uni mode: ONE bag over the concatenated window (no
+                # half-split; 4-way marker truncation, data_utils.py:420)
+                from .tokenize import truncate_uni
+
+                toks = (s1 + " " + s2).split(" ")
+                if len(toks) > budget:
+                    toks = truncate_uni(toks, budget)
+                for t in toks:
+                    x[r, feat_index(t)] += 1.0
+                continue
             ta, tb = s1.split(" "), s2.split(" ")
             if len(ta) + len(tb) > budget:
                 # entity-centered truncation, the reference's
@@ -185,9 +213,18 @@ def _make_hf_scorer(cfg: PipelineConfig):  # pragma: no cover - env-gated
             _cache["tok"], _cache["model"] = tok, model
         import torch
         tok, model = _cache["tok"], _cache["model"]
-        enc = tok(list(pdf["s1_marked"]), list(pdf["s2_marked"]),
-                  truncation=True, max_length=cfg.max_seq_len,
-                  padding=True, return_tensors="pt")
+        if cfg.data_format_mode == 1:
+            # uni mode: single sequence [CLS] s1 s2 [SEP]
+            texts = [
+                a + " " + b
+                for a, b in zip(pdf["s1_marked"], pdf["s2_marked"])
+            ]
+            enc = tok(texts, truncation=True, max_length=cfg.max_seq_len,
+                      padding=True, return_tensors="pt")
+        else:
+            enc = tok(list(pdf["s1_marked"]), list(pdf["s2_marked"]),
+                      truncation=True, max_length=cfg.max_seq_len,
+                      padding=True, return_tensors="pt")
         with torch.no_grad():
             logits = model(**enc).logits.numpy()
         idx = logits.argmax(axis=1)
@@ -198,12 +235,41 @@ def _make_hf_scorer(cfg: PipelineConfig):  # pragma: no cover - env-gated
     return scorer
 
 
-def _build_scorer(cfg: PipelineConfig, labels: list[str]):
-    if cfg.scorer == "stub":
-        return _make_stub_scorer(labels)
-    if cfg.scorer == "mlp":
-        return _make_mlp_scorer(labels)
-    return _make_hf_scorer(cfg)
+# --- scorer backend registry (the run_app.py:121-149 extension contract) ---
+# A factory takes (cfg, labels) and returns a callable
+# ``pdf -> (label_idx ndarray, score ndarray)``. Third parties add backends
+# via ``register_scorer`` and select them with PipelineConfig(scorer=name) /
+# ``--scorer name`` — no engine code change (README "Custom scorer
+# backends"). The factory runs INSIDE the executor task, once per task.
+SCORER_REGISTRY: dict[str, Callable] = {
+    "stub": _make_stub_scorer,
+    "mlp": _make_mlp_scorer,
+    "hf": lambda cfg, labels: _make_hf_scorer(cfg),
+}
+
+
+def register_scorer(name: str, factory: Callable) -> None:
+    """Register a custom scoring backend under ``name``.
+
+    ``factory(cfg, labels)`` must return ``scorer(pdf) -> (idx, score)``
+    where idx is an int array of label indices and score a float array,
+    both aligned with ``pdf`` rows (pdf carries s1_marked, s2_marked,
+    i1, i2 plus all candidate columns)."""
+    SCORER_REGISTRY[name] = factory
+
+
+def _resolve_factory(cfg: PipelineConfig) -> Callable:
+    """Driver-side registry lookup. The RESOLVED factory (not the registry)
+    is captured in the UDF closure, so backends registered by user code —
+    including in __main__, which never re-imports on executor Python
+    workers — serialize by value with the closure."""
+    try:
+        return SCORER_REGISTRY[cfg.scorer]
+    except KeyError:
+        raise ValueError(
+            f"unknown scorer {cfg.scorer!r}; registered: "
+            f"{sorted(SCORER_REGISTRY)} (add yours via register_scorer)"
+        ) from None
 
 
 def score_candidates(cand: DataFrame, cfg: PipelineConfig | None = None,
@@ -230,8 +296,10 @@ def score_candidates(cand: DataFrame, cfg: PipelineConfig | None = None,
     ]
     out_schema = T.StructType(out_fields)
 
+    factory = _resolve_factory(cfg)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        scorer = _build_scorer(cfg, labels)
+        scorer = factory(cfg, labels)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -301,8 +369,10 @@ def score_filter_number(cand: DataFrame, cfg: PipelineConfig | None = None) -> D
             }
         )
 
+    factory = _resolve_factory(cfg)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        scorer = _build_scorer(cfg, labels)
+        scorer = factory(cfg, labels)
         carry: pd.DataFrame | None = None  # rows of the batch-boundary doc
         for pdf in batches:
             if len(pdf) == 0:

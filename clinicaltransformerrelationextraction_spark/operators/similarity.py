@@ -126,7 +126,13 @@ def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
 def q_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-duplicate pairs: all (a < b) with fixed-point cosine
     above NEARDUP_COS. Brute force here (correctness baseline); the LSH
-    bucket join is the scale path for the same predicate."""
+    bucket join is the scale path for the same predicate.
+
+    O(N^2) all-pairs cross join: guarded against large inputs — NEVER run
+    it at scale; use q_embed_neardup_lsh."""
+    from .guards import guard_brute
+
+    guard_brute(_q(spark, sf), "q_embed_neardup", "q_embed_neardup_lsh")
     a = _q(spark, sf).select(
         F.col("vec_id").alias("vec_a"), F.col("qe").alias("qa")
     )

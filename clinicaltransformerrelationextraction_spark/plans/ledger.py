@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 from dataclasses import dataclass
 
@@ -34,10 +33,33 @@ from ..config import PipelineConfig
 from .pipeline import run_pipeline
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — works for
+    local paths AND hdfs://, s3a://, ... (the spark-submit deployments the
+    README advertises); driver-local os.path/shutil would silently no-op on
+    remote filesystems."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, hpath = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
 @dataclass
 class LedgerRun:
     out_dir: str
     n_buckets: int = 8
+    salt: bool = False  # salted repartition before scoring (hot domains)
 
     @property
     def triples_dir(self) -> str:
@@ -46,6 +68,10 @@ class LedgerRun:
     @property
     def ledger_path(self) -> str:
         return os.path.join(self.out_dir, "_ledger.json")
+
+    @property
+    def snapshots_path(self) -> str:
+        return os.path.join(self.out_dir, "_snapshots.json")
 
     def _read_ledger(self) -> dict[str, dict]:
         if os.path.exists(self.ledger_path):
@@ -84,7 +110,7 @@ class LedgerRun:
             t0 = time.time()
             part = bucketed.filter(F.col("bucket") == b).drop("bucket")
             n_docs = part.count()
-            trip = run_pipeline(part, cfg).triples.withColumn(
+            trip = run_pipeline(part, cfg, salt=self.salt).triples.withColumn(
                 "bucket", F.lit(b)
             )
             # idempotent partition overwrite: re-running a bucket replaces
@@ -94,9 +120,10 @@ class LedgerRun:
             # read if the first bucket is empty — so clear the partition
             # directory explicitly first (Iceberg replacePartitions
             # semantics, where empty replacement drops the partition).
-            part_dir = os.path.join(self.triples_dir, f"bucket={b}")
-            if os.path.isdir(part_dir):
-                shutil.rmtree(part_dir)
+            # Deletion goes through the Hadoop FileSystem API so it works
+            # on hdfs://s3a:// too, not only local POSIX paths.
+            part_dir = self.triples_dir + f"/bucket={b}"
+            _fs_delete(spark, part_dir)
             trip.write.mode("overwrite").partitionBy("bucket").parquet(
                 self.triples_dir
             )
@@ -104,7 +131,7 @@ class LedgerRun:
                 spark.read.parquet(self.triples_dir)
                 .filter(F.col("bucket") == b)
                 .count()
-                if os.path.isdir(part_dir)
+                if _fs_exists(spark, part_dir)
                 else 0
             )
             ledger[key] = {
@@ -119,7 +146,48 @@ class LedgerRun:
                 raise RuntimeError(
                     f"simulated failure after {done} buckets"
                 )
+        if done:
+            self._append_snapshot(ledger, buckets_written=done)
         return ledger
+
+    # --- snapshot log (Iceberg-metadata analog) ----------------------------
+    # Every completed run()/resume() appends a snapshot: which partitions
+    # the table now contains, their row counts, and the parent snapshot —
+    # the same commit-lineage contract Iceberg keeps in metadata.json
+    # (snapshot-id / parent-snapshot-id / summary). On a real deployment
+    # this whole class is replaced by Iceberg replacePartitions commits;
+    # the snapshot log is what makes the ledger auditable in the meantime.
+
+    def snapshots(self) -> list[dict]:
+        if os.path.exists(self.snapshots_path):
+            with open(self.snapshots_path) as f:
+                return json.load(f)
+        return []
+
+    def _append_snapshot(self, ledger: dict[str, dict],
+                         buckets_written: int) -> dict:
+        snaps = self.snapshots()
+        snap = {
+            "snapshot_id": len(snaps) + 1,
+            "parent_id": snaps[-1]["snapshot_id"] if snaps else None,
+            "ts": time.time(),
+            "operation": "replace-partitions",
+            "buckets_written": buckets_written,
+            "buckets_done": sum(
+                1 for v in ledger.values() if v.get("status") == "done"
+            ),
+            "n_buckets": self.n_buckets,
+            "total_triples": sum(
+                v.get("n_triples", 0) for v in ledger.values()
+            ),
+            "total_docs": sum(v.get("n_docs", 0) for v in ledger.values()),
+        }
+        snaps.append(snap)
+        tmp = self.snapshots_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snaps, f, indent=1)
+        os.replace(tmp, self.snapshots_path)
+        return snap
 
     def resume(self, docs: DataFrame,
                cfg: PipelineConfig | None = None) -> dict[str, dict]:

@@ -128,6 +128,34 @@ triples AS (
 )"""
 
 
+# uni mode (data_format_mode=1, src/task.py:41-49): the scorer sees ONE
+# sequence "s1 s2", so the stub index runs over the concatenated length
+# (the +1 is the join space)
+def stub_idx_uni(s1m: str, s2m: str, i1: str, i2: str) -> str:
+    return (
+        f"(length({s1m}) + length({s2m}) + 1 + {STUB_W3}*({i1}+{i2}))"
+        f" % {len(LABELS)}"
+    )
+
+
+PRED_UNI_CTE = f"""
+pred AS (
+  SELECT *,
+    {label_case(stub_idx_uni("s1_marked", "s2_marked", "i1", "i2"))}
+      AS pred_label,
+    (({stub_idx_uni("s1_marked", "s2_marked", "i1", "i2")}) + 1)
+      / {len(LABELS)}.0 AS score
+  FROM cand
+)"""
+
+
+def q_triples_uni() -> str:
+    return f"""{PIPELINE_PREFIX},{PRED_UNI_CTE},{TRIPLES_CTE}
+SELECT doc_id, rel_id, pred, subj_id, obj_id, score
+FROM triples
+"""
+
+
 def q_sentences() -> str:
     return f"""
 WITH base AS (

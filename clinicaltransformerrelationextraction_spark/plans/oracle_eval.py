@@ -157,3 +157,66 @@ SELECT count(*)::BIGINT AS n_docs,
   sum(r_micro) / count(*) AS macro_r_micro
 FROM pdm
 """
+
+
+def _loss_counts_sql() -> str:
+    from ..config import GOLD_MOD, GOLD_SHIFT, LABELS, NON_REL
+    from .oracle import PIPELINE_PREFIX, PRED_CTE, label_case, stub_idx
+
+    gold_idx = (
+        f"(({stub_idx('s1_marked', 's2_marked', 'i1', 'i2')})"
+        f" + {GOLD_SHIFT}) % {len(LABELS)}"
+    )
+    return f"""{PIPELINE_PREFIX},{PRED_CTE},
+scored AS (
+  SELECT pred_label,
+    CASE WHEN (3*i1 + i2) % {GOLD_MOD} = 0
+         THEN {label_case(gold_idx)} ELSE '{NON_REL}' END AS gold_label
+  FROM pred
+),
+counts AS (
+  SELECT gold_label AS label, count(*)::BIGINT AS n_gold,
+    sum(CASE WHEN pred_label = gold_label THEN 1 ELSE 0 END)::BIGINT
+      AS n_match
+  FROM scored GROUP BY 1
+),
+tot AS (SELECT sum(n_gold)::BIGINT AS total FROM counts),
+wc AS (
+  SELECT label, n_gold, n_match, (n_gold - n_match)::BIGINT AS n_miss,
+    ((total * {{unit}}) // ({{nlab}} * n_gold))::BIGINT AS w_u
+  FROM counts, tot
+),
+loss AS (
+  SELECT label, n_gold, n_match, n_miss, w_u,
+    (w_u * (n_match * {{l_match}} + n_miss * {{l_miss}}))::BIGINT AS loss_u
+  FROM wc
+)"""
+
+
+def q_loss_weighted() -> str:
+    from ..config import LABELS
+    from ..operators.evalqueries import LOSS_UNIT, _loss_units
+
+    l_match, l_miss = _loss_units(len(LABELS))
+    prefix = _loss_counts_sql().format(
+        unit=LOSS_UNIT, nlab=len(LABELS), l_match=l_match, l_miss=l_miss
+    )
+    return f"""{prefix}
+SELECT label, n_gold, n_match, n_miss, w_u, loss_u FROM loss
+"""
+
+
+def q_loss_mean() -> str:
+    from ..config import LABELS
+    from ..operators.evalqueries import LOSS_UNIT, _loss_units
+
+    l_match, l_miss = _loss_units(len(LABELS))
+    prefix = _loss_counts_sql().format(
+        unit=LOSS_UNIT, nlab=len(LABELS), l_match=l_match, l_miss=l_miss
+    )
+    return f"""{prefix}
+SELECT sum(n_gold)::BIGINT AS n_examples,
+  sum(loss_u)::BIGINT AS total_loss_u,
+  (sum(loss_u) // (sum(n_gold) * {LOSS_UNIT}))::BIGINT AS mean_loss_u
+FROM loss
+"""

@@ -99,3 +99,18 @@ def test_ann_topk_has_mapside_window_group_limit(spark):
 
     plan = _plan(entrymod.queries()["q_ann_topk"](spark, SF_SMOKE))
     assert _nodes(plan).count("WindowGroupLimit") >= 2
+
+
+def test_validate_rels_joins_aggregated_counts_not_mentions(spark):
+    """q_validate_rels computes its pair census arithmetically from
+    per-(doc, sentence, type) counts: every join must key on
+    (doc_id, anchor) over the AGGREGATED count table — never the
+    mention-level doc_id-only self-join (quadratic per doc) this replaced."""
+    from clinicaltransformerrelationextraction_spark.operators.preprocess import (
+        q_validate_rels,
+    )
+
+    plan = _plan(q_validate_rels(spark, SF_SMOKE))
+    assert "anchor" in plan
+    # no join keyed on doc_id alone (the old mention×mention shape)
+    assert re.search(r"keys \[1\]: \[doc_id", plan) is None

@@ -1,0 +1,214 @@
+"""Round-3 additions: brute-twin scale guards, the scorer-backend registry,
+uni-mode (--data-format-mode 1) routing end to end, lazy relation_match_prf,
+and the salted ledger path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clinicaltransformerrelationextraction_spark.config import PipelineConfig
+from clinicaltransformerrelationextraction_spark.plans.pipeline import (
+    load_documents,
+    run_pipeline,
+)
+from tests.conftest import SF_SMOKE
+
+
+# --- brute-twin guards -------------------------------------------------------
+
+def test_guard_brute_raises_above_threshold(spark, monkeypatch):
+    from clinicaltransformerrelationextraction_spark.operators.guards import (
+        guard_brute,
+    )
+
+    df = spark.range(100)
+    assert guard_brute(df, "q_x", "q_x_lsh", max_rows=100) is df
+    with pytest.raises(ValueError, match="q_x_lsh"):
+        guard_brute(df, "q_x", "q_x_lsh", max_rows=99)
+    # env override wins
+    monkeypatch.setenv("CTRE_BRUTE_MAX_ROWS", "50")
+    with pytest.raises(ValueError, match="NEVER"):
+        guard_brute(df, "q_x", "q_x_lsh", max_rows=1000)
+
+
+def test_brute_twin_queries_are_guarded(spark, monkeypatch):
+    from clinicaltransformerrelationextraction_spark.operators import (
+        dedup,
+        similarity,
+    )
+
+    monkeypatch.setenv("CTRE_BRUTE_MAX_ROWS", "5")
+    with pytest.raises(ValueError, match="q_simhash_banded_pairs"):
+        dedup.q_simhash_hamming_hist(spark, SF_SMOKE)
+    with pytest.raises(ValueError, match="q_embed_neardup_lsh"):
+        similarity.q_embed_neardup(spark, SF_SMOKE)
+
+
+# --- scorer registry (run_app.py:121-149 extension contract) -----------------
+
+def test_register_custom_scorer_end_to_end(spark):
+    from clinicaltransformerrelationextraction_spark.operators.scoring import (
+        SCORER_REGISTRY,
+        register_scorer,
+        score_candidates,
+    )
+    from clinicaltransformerrelationextraction_spark.operators.candidates import (
+        candidates,
+    )
+
+    def always_first(cfg, labels):
+        def scorer(pdf):
+            idx = np.zeros(len(pdf), dtype=np.int64)
+            return idx, np.full(len(pdf), 0.5)
+
+        return scorer
+
+    register_scorer("const0", always_first)
+    try:
+        cfg = PipelineConfig(scorer="const0")
+        docs = load_documents(spark, SF_SMOKE).limit(50)
+        out = score_candidates(candidates(docs, cfg), cfg)
+        labs = {r.pred_label for r in out.select("pred_label").distinct().collect()}
+        assert labs == {cfg.labels[0]}
+    finally:
+        SCORER_REGISTRY.pop("const0", None)
+
+
+def test_unknown_scorer_raises_with_registry_hint(spark):
+    from clinicaltransformerrelationextraction_spark.operators.candidates import (
+        candidates,
+    )
+    from clinicaltransformerrelationextraction_spark.operators.scoring import (
+        score_candidates,
+    )
+
+    cfg = PipelineConfig(scorer="nope")
+    docs = load_documents(spark, SF_SMOKE).limit(5)
+    with pytest.raises(ValueError, match="register_scorer"):
+        score_candidates(candidates(docs, cfg), cfg)
+
+
+# --- uni mode routing --------------------------------------------------------
+
+def test_uni_mode_changes_predictions(spark):
+    docs = load_documents(spark, SF_SMOKE).limit(200)
+    sep = run_pipeline(docs, PipelineConfig()).triples
+    uni = run_pipeline(docs, PipelineConfig(data_format_mode=1)).triples
+    # both modes produce triples, and the label assignment differs
+    # (different stub input encoding) while the schema is identical
+    assert sep.columns == uni.columns
+    sep_set = {(r.doc_id, r.subj_id, r.obj_id, r.pred) for r in sep.collect()}
+    uni_set = {(r.doc_id, r.subj_id, r.obj_id, r.pred) for r in uni.collect()}
+    assert sep_set and uni_set and sep_set != uni_set
+
+
+def test_cli_data_format_mode_is_wired(spark, tmp_path):
+    from clinicaltransformerrelationextraction_spark.cli import main
+
+    docs = load_documents(spark, SF_SMOKE).limit(100)
+    inp = str(tmp_path / "docs_in")
+    docs.write.mode("overwrite").parquet(inp)
+    out0 = str(tmp_path / "m0")
+    out1 = str(tmp_path / "m1")
+    main(["predict", "--input", inp, "--output", out0, "--n-buckets", "1"],
+         spark=spark)
+    main(["predict", "--input", inp, "--output", out1, "--n-buckets", "1",
+          "--data-format-mode", "1"], spark=spark)
+    t0 = {(r.doc_id, r.subj_id, r.obj_id, r.pred)
+          for r in spark.read.parquet(out0 + "/triples").collect()}
+    t1 = {(r.doc_id, r.subj_id, r.obj_id, r.pred)
+          for r in spark.read.parquet(out1 + "/triples").collect()}
+    assert t0 != t1  # the flag is no longer a silent no-op
+
+
+def test_mlp_scorer_uni_mode_runs(spark):
+    from clinicaltransformerrelationextraction_spark.operators.candidates import (
+        candidates,
+    )
+    from clinicaltransformerrelationextraction_spark.operators.scoring import (
+        score_candidates,
+    )
+
+    cfg = PipelineConfig(scorer="mlp", data_format_mode=1)
+    docs = load_documents(spark, SF_SMOKE).limit(30)
+    out = score_candidates(candidates(docs, cfg), cfg)
+    assert out.filter(F.col("score") <= 0).count() == 0
+
+
+# --- lazy relation_match_prf --------------------------------------------------
+
+def test_relation_match_prf_is_lazy_single_plan(spark):
+    from clinicaltransformerrelationextraction_spark.operators.evaluation import (
+        relation_match_prf,
+    )
+
+    docs = load_documents(spark, SF_SMOKE).limit(100)
+    trip = run_pipeline(docs, PipelineConfig()).triples
+    prf = relation_match_prf(trip, trip)
+    # composable: the result is a plain unevaluated DataFrame we can keep
+    # transforming before any action runs
+    gated = prf.filter(F.col("f1") >= 0.95)
+    row = gated.first()
+    assert row is not None and row.precision == 1.0 and row.recall == 1.0
+    # empty-vs-empty: denominator guards give 0.0, not null/div-by-zero
+    empty = trip.filter(F.lit(False))
+    row0 = relation_match_prf(empty, empty).first()
+    assert (row0.tp or 0) == 0 and row0.precision == 0.0 and row0.f1 == 0.0
+
+
+# --- salted ledger path -------------------------------------------------------
+
+def test_cli_salted_ledger_matches_unsalted(spark, tmp_path):
+    from clinicaltransformerrelationextraction_spark.cli import main
+
+    docs = load_documents(spark, SF_SMOKE).limit(80)
+    inp = str(tmp_path / "docs_in")
+    docs.write.mode("overwrite").parquet(inp)
+    out_plain = str(tmp_path / "plain")
+    out_salt = str(tmp_path / "salt")
+    r1 = main(["predict", "--input", inp, "--output", out_plain,
+               "--n-buckets", "2"], spark=spark)
+    r2 = main(["predict", "--input", inp, "--output", out_salt,
+               "--n-buckets", "2", "--salt"], spark=spark)
+    assert r1["n_triples"] == r2["n_triples"]
+    key = ["doc_id", "rel_id", "pred", "subj_id", "obj_id"]
+    a = {tuple(r) for r in
+         spark.read.parquet(out_plain + "/triples").select(*key).collect()}
+    b = {tuple(r) for r in
+         spark.read.parquet(out_salt + "/triples").select(*key).collect()}
+    assert a == b
+
+
+# --- snapshot lineage (Iceberg-metadata analog) --------------------------------
+
+def test_ledger_snapshot_chain_across_crash_and_resume(spark, tmp_path):
+    from clinicaltransformerrelationextraction_spark.plans.ledger import (
+        LedgerRun,
+    )
+
+    docs = load_documents(spark, SF_SMOKE).limit(60)
+    run = LedgerRun(out_dir=str(tmp_path / "snap"), n_buckets=4)
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        run.run(docs, PipelineConfig(), fail_after=2)
+    # a crashed run leaves NO snapshot (commits are all-buckets-or-nothing,
+    # but the per-bucket ledger still carries the partial lineage)
+    assert run.snapshots() == []
+    ledger = run.resume(docs, PipelineConfig())
+    snaps = run.snapshots()
+    assert len(snaps) == 1
+    s = snaps[0]
+    assert s["parent_id"] is None and s["buckets_done"] == 4
+    assert s["buckets_written"] == 2  # only the not-done buckets re-ran
+    assert s["total_triples"] == sum(v["n_triples"] for v in ledger.values())
+    # a no-op resume appends nothing; a forced re-run chains the parent
+    run.resume(docs, PipelineConfig())
+    assert len(run.snapshots()) == 1
+    ledger2 = dict(run._read_ledger())
+    ledger2.pop("0")
+    run._write_ledger(ledger2)
+    run.resume(docs, PipelineConfig())
+    snaps = run.snapshots()
+    assert len(snaps) == 2
+    assert snaps[1]["parent_id"] == snaps[0]["snapshot_id"]
