@@ -179,6 +179,22 @@ def _q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return q_graph_pagerank(spark, sf)
 
 
+def _q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        q_graph_components,
+    )
+
+    return q_graph_components(spark, sf)
+
+
+def _q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        q_graph_triangles,
+    )
+
+    return q_graph_triangles(spark, sf)
+
+
 def _q_binary_triples(spark: SparkSession, sf: str) -> DataFrame:
     from clinicaltransformerrelationextraction_spark.operators.binarymode import (
         q_binary_triples,
@@ -263,6 +279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_degree": _q_graph_degree,
         "q_graph_two_hop": _q_graph_two_hop,
         "q_graph_pagerank": _q_graph_pagerank,
+        "q_graph_components": _q_graph_components,
+        "q_graph_triangles": _q_graph_triangles,
         "q_micro_prf": _q_micro_prf,
         "q_tokenized_features": _q_tokenized_features,
         "q_tokenized_uni": _q_tokenized_uni,
@@ -289,6 +307,8 @@ def oracle_sql() -> dict[str, str]:
         "q_graph_degree": oracle.q_graph_degree(),
         "q_graph_two_hop": oracle.q_graph_two_hop(),
         "q_graph_pagerank": oracle.q_graph_pagerank(),
+        "q_graph_components": oracle.q_graph_components(),
+        "q_graph_triangles": oracle.q_graph_triangles(),
         "q_micro_prf": oracle.q_micro_prf(),
         "q_tokenized_features": oracle.q_tokenized_features(),
         "q_tokenized_uni": oracle.q_tokenized_uni(),

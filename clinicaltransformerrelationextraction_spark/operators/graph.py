@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 
-__all__ = ["q_graph_degree", "q_graph_two_hop", "q_graph_pagerank"]
+__all__ = [
+    "q_graph_degree", "q_graph_two_hop", "q_graph_pagerank",
+    "q_graph_components", "q_graph_triangles",
+]
 
 PR_ITERS = 3  # fixed iteration count (cross-engine: both run exactly K)
 PR_UNIT = 1_000_000  # micro-unit fixed point; all arithmetic is integer
@@ -119,4 +122,95 @@ def q_graph_two_hop(spark: SparkSession, sf: str) -> DataFrame:
             F.col("a.pred").alias("p1"), F.col("b.pred").alias("p2")
         )
         .agg(F.count("*").alias("n_paths"))
+    )
+
+
+def _undirected(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical undirected edge set (a < b, self-loops dropped) of the
+    entity graph."""
+    t = _linked(spark, sf)
+    return (
+        t.select(
+            F.least("subj_canonical", "obj_canonical").alias("a"),
+            F.greatest("subj_canonical", "obj_canonical").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components of the (undirected) canonical entity graph:
+    every entity labeled with the lexicographic-min entity of its
+    component (the canonical cluster representative), plus an is_root
+    flag — the same keeper-assignment shape as near-dup dedup clusters.
+
+    Iterative min-label propagation with a per-round lineage cut
+    (localCheckpoint); rounds = component diameter. At 10^9+ nodes the
+    same join primitive runs as large-star/small-star contraction
+    (O(log n) rounds). The DuckDB oracle computes the identical fixpoint
+    as a recursive transitive closure + min."""
+    und = _undirected(spark, sf)
+    edges = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("entity")).distinct().localCheckpoint()
+    )
+    labels = nodes.withColumn("component", F.col("entity"))
+    while True:
+        prop = (
+            edges.join(
+                labels.select(
+                    F.col("entity").alias("src"),
+                    F.col("component").alias("src_comp"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("entity"))
+            .agg(F.min("src_comp").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(prop, "entity", "left")
+            .select(
+                "entity",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("neigh_min", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "entity")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumn(
+        "is_root", (F.col("entity") == F.col("component")).cast("int")
+    )
+
+
+def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the canonical entity graph: count closed
+    triples a < b < c with all three edges present — two self-joins over
+    the ordered edge list (the standard ordered-wedge plan: each triangle
+    is generated exactly once, no /6 correction; AQE sizes the joins from
+    edge stats; never broadcast — edges grow with the corpus)."""
+    e = _undirected(spark, sf)
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a"), F.col("b").alias("c"))
+    return (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])
+        .agg(F.count("*").alias("n_triangles"))
     )

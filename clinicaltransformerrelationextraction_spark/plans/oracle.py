@@ -485,3 +485,44 @@ SELECT t.doc_id,
   t.t_block || coalesce(chr(10) || r.r_block, '') AS ann_text
 FROM tlines t LEFT JOIN rlines r USING (doc_id)
 """
+
+
+_UND_CTES = """
+ge AS (
+  SELECT DISTINCT
+    least(subj_canonical, obj_canonical) AS a,
+    greatest(subj_canonical, obj_canonical) AS b
+  FROM linked WHERE subj_canonical <> obj_canonical
+)"""
+
+
+def q_graph_components() -> str:
+    """Connected components = transitive closure + min per source; the
+    Spark side converges min-label propagation to the identical fixpoint.
+    Nodes are entities with >= 1 (non-loop) edge, matching the Spark
+    edge-derived node set."""
+    prefix = "WITH RECURSIVE" + PIPELINE_PREFIX[len("WITH"):]
+    return f"""{prefix},{PRED_CTE},{TRIPLES_CTE},{_LINKED_CTES},{_UND_CTES},
+edges AS (
+  SELECT a AS src, b AS dst FROM ge
+  UNION ALL
+  SELECT b, a FROM ge
+),
+nodes AS (SELECT DISTINCT src AS entity FROM edges),
+reach AS (
+  SELECT entity AS src, entity AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT src AS entity, min(dst) AS component,
+  (CASE WHEN src = min(dst) THEN 1 ELSE 0 END)::INT AS is_root
+FROM reach GROUP BY src
+"""
+
+
+def q_graph_triangles() -> str:
+    return f"""{PIPELINE_PREFIX},{PRED_CTE},{TRIPLES_CTE},{_LINKED_CTES},{_UND_CTES}
+SELECT count(*)::BIGINT AS n_triangles
+FROM ge ab JOIN ge bc ON ab.b = bc.a JOIN ge ac
+  ON ac.a = ab.a AND ac.b = bc.b
+"""
