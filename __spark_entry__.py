@@ -245,8 +245,9 @@ _TRAIN_QUERIES, _TRAIN_SQL = _module_queries(
 _EVAL_QUERIES, _EVAL_SQL = _module_queries(evalqueries, oracle_eval)
 
 
-# --- pandas-UDF operators: queries() entries WITHOUT an oracle (the driver
-# records a weaker rows-only check — these are not ANSI-SQL-expressible) ----
+# --- pandas-UDF segmenter: since round 3 this is oracle-checked too (the
+# default splitter is deterministic, so even its char offsets are
+# SQL-expressible; the Spark side stays a mapInPandas UDTF) ------------------
 
 def _q_segment_pages_pandas(spark: SparkSession, sf: str) -> DataFrame:
     from clinicaltransformerrelationextraction_spark.operators.segmentation import (
@@ -316,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "q_eval_prf": oracle.q_eval_prf(),
         "q_rel_stats": oracle.q_rel_stats(),
         "q_triples_linked": oracle.q_triples_linked(),
+        "q_segment_pages_pandas": oracle.q_segment_pages_pandas(),
         **_EVAL_SQL,
         **_TRAIN_SQL,
         **_REL_SQL,

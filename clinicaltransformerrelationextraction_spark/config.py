@@ -119,6 +119,8 @@ class PipelineConfig:
     # pairs are counted, never silently truncated (SURVEY.md §7.4.4)
     salt_buckets: int = 32  # salting modulus for host-domain skew
     scorer: str = "stub"  # "stub" | "mlp" | "hf" | any register_scorer name
+    # hf backend only: model dir/hub id for AutoModelForSequenceClassification
+    scorer_model_path: str = "bert-base-uncased"
     max_seq_len: int = 512  # token budget incl. special tokens (U2)
     batch_size: int = 1024  # Arrow batch rows per scorer call
     # 0 = sep mode [CLS] s1 [SEP] s2 [SEP]; 1 = uni mode [CLS] s1 s2 [SEP]

@@ -195,9 +195,14 @@ def _make_hf_scorer(cfg: PipelineConfig):  # pragma: no cover - env-gated
                                   AutoTokenizer)
     except ImportError as e:
         raise NotImplementedError(
-            "transformers/torch are not installed in this environment; "
-            "the 'hf' scorer is the production backend (reference "
-            "src/models.py:20-99) and shares all Spark plumbing with 'stub'."
+            "the 'hf' scorer needs the transformers wheel set on every "
+            "executor: pip install 'torch>=2.0' 'transformers>=4.30' "
+            "(CPU wheels suffice for inference). It is the production "
+            "backend (reference src/models.py:20-99) and shares ALL Spark "
+            "plumbing — batching, schema, executor-local model cache — "
+            "with 'stub'/'mlp', so a pipeline validated on those runs "
+            "unchanged once the wheels are present. Set "
+            "PipelineConfig(scorer_model_path=...) to the model dir."
         ) from e
 
     _cache: dict[str, object] = {}

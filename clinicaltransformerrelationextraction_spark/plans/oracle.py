@@ -526,3 +526,30 @@ SELECT count(*)::BIGINT AS n_triangles
 FROM ge ab JOIN ge bc ON ab.b = bc.a JOIN ge ac
   ON ac.a = ab.a AND ac.b = bc.b
 """
+
+
+def q_segment_pages_pandas() -> str:
+    """Oracle for the pandas-UDF segmenter (segment_pages_udf): the default
+    splitter is the deterministic fixed-window rule, so its exact output —
+    including char offsets — is SQL-expressible; url = 'doc://' || doc_id
+    (documents_as_pages adapter). The Spark side stays a mapInPandas UDTF;
+    this checks it end to end instead of the former rows-only record."""
+    return f"""
+WITH {TOKS_CTE.strip()},
+offs AS (
+  SELECT doc_id, i, tok,
+    coalesce(sum(length(tok) + 1) OVER (
+      PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+  FROM toks
+),
+win AS (
+  SELECT doc_id, ((i - 1) // {SENT_LEN})::INT AS sent_id,
+    min(start)::BIGINT AS sent_start,
+    string_agg(tok, ' ' ORDER BY i) AS sent_text
+  FROM offs GROUP BY doc_id, (i - 1) // {SENT_LEN}
+)
+SELECT 'doc://' || doc_id AS url, sent_id, sent_start,
+  (sent_start + length(sent_text))::BIGINT AS sent_end, sent_text
+FROM win
+"""
