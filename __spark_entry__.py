@@ -290,6 +290,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_stats": _q_rel_stats,
         "q_triples_linked": _q_triples_linked,
         "q_segment_pages_pandas": _q_segment_pages_pandas,
+        # round-3 additions pinned inside the driver's 50-query window
+        # (dict order keeps the FIRST insertion position; the module
+        # spreads below re-supply the same callables harmlessly)
+        "q_tpch_q6": relational.q_tpch_q6,
         **_EVAL_QUERIES,
         **_TRAIN_QUERIES,
         **_REL_QUERIES,
@@ -318,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rel_stats": oracle.q_rel_stats(),
         "q_triples_linked": oracle.q_triples_linked(),
         "q_segment_pages_pandas": oracle.q_segment_pages_pandas(),
+        "q_tpch_q6": oracle_relational.q_tpch_q6(),
         **_EVAL_SQL,
         **_TRAIN_SQL,
         **_REL_SQL,

@@ -377,3 +377,27 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("ps").cast("double").alias("sum_qty"),
         F.sum("pn").alias("n"),
     )
+
+
+def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape — the pure scan-filter-aggregate query: every
+    predicate pushes down to the parquet scan (no shuffle at all before
+    the single-row partial agg), the canonical 'filters reach the reader'
+    check. Revenue in exact decimal, ONE double conversion at the end."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast(DEC)
+                 * F.col("l_discount").cast(DEC)).cast("decimal(30,4)")
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )

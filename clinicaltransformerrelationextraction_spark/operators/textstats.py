@@ -87,3 +87,55 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return d.select(
         "doc_id", bag.alias("bag_fp"), min_shingle.alias("min_shingle_fp")
     )
+
+
+K_MV = 64  # sketch size
+HEX12 = 1 << 48  # md5 12-hex-char prefix domain
+
+
+def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV (K-minimum-values) distinct-count sketch per language over
+    bigram shingles — the cardinality sketch a 100 TB pipeline uses
+    instead of exact countDistinct (whose full shuffle of every distinct
+    value is the scale bottleneck). Estimator: (K-1) / h_(K) with hashes
+    normalized to [0, 1) via the first 12 hex chars of md5; the sketch is
+    MERGEABLE (union of K-min sets → K-min of union), which is what makes
+    it map-side combinable. Fully oracle-checked: md5 is engine-identical,
+    the estimate is ONE IEEE division of exact integers, and the exact
+    count rides along so the oracle also pins the sketch's accuracy.
+    Spark-side the rank<=K filter keeps its partial (map-side)
+    WindowGroupLimit — each task prunes to a local top-K before the
+    shuffle, exactly the sketch-merge dataflow."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf)
+    toks = F.split("text", " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = d.select("lang", F.explode(bigrams).alias("shingle")).distinct()
+    h = bg.select(
+        "lang",
+        F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10)
+        .cast("long").alias("h"),
+    )
+    w = Window.partitionBy("lang").orderBy("h")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K_MV)
+        .groupBy("lang")
+        .agg(F.max("h").alias("kth"), F.count("*").alias("k_actual"))
+    )
+    exact = bg.groupBy("lang").agg(F.count("*").alias("n_exact"))
+    est = F.when(
+        F.col("k_actual") < K_MV, F.col("k_actual").cast("double")
+    ).otherwise(F.lit((K_MV - 1) * HEX12) / F.col("kth"))
+    return sk.join(exact, "lang").select(
+        "lang", "k_actual", "kth", "n_exact", est.alias("est_distinct")
+    )

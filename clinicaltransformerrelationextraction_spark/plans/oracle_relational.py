@@ -229,3 +229,17 @@ SELECT l_returnflag, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
        count(*)::BIGINT AS n
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+def q_tpch_q6() -> str:
+    return """
+SELECT
+  sum((l_extendedprice::DECIMAL(18,2)
+       * l_discount::DECIMAL(18,2))::DECIMAL(30,4))::DOUBLE AS revenue,
+  count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""

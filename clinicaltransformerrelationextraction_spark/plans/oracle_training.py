@@ -502,3 +502,42 @@ SELECT doc_id, 'image' AS modality,
   greatest(1, count(*) // 64)::BIGINT AS n_frames
 FROM bytes GROUP BY doc_id
 """
+
+
+def q_kmv_distinct() -> str:
+    """KMV distinct-count sketch oracle (operators/textstats.py): hashes
+    are the first 12 hex chars of md5 (unrolled digit arithmetic, exact
+    bigints); the estimate is one integer/integer division (DOUBLE in both
+    engines, identical IEEE result)."""
+    from ..operators.textstats import HEX12, K_MV
+
+    hex12 = " + ".join(
+        f"(strpos('0123456789abcdef', substring(hx, {i + 1}, 1)) - 1)"
+        f" * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    return f"""
+WITH tl AS (SELECT lang, string_split(text, ' ') AS tl FROM documents),
+bg AS (
+  SELECT DISTINCT lang, tl[i] || ' ' || tl[i+1] AS shingle
+  FROM tl, UNNEST(range(1, len(tl))) r(i)
+  WHERE len(tl) >= 2
+),
+h AS (
+  SELECT lang, ({hex12})::BIGINT AS h
+  FROM (SELECT lang, md5(shingle) AS hx FROM bg)
+),
+rk AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM h
+),
+sk AS (
+  SELECT lang, max(h)::BIGINT AS kth, count(*)::BIGINT AS k_actual
+  FROM rk WHERE rn <= {K_MV} GROUP BY lang
+),
+ex AS (SELECT lang, count(*)::BIGINT AS n_exact FROM bg GROUP BY lang)
+SELECT s.lang, s.k_actual, s.kth, e.n_exact,
+  CASE WHEN s.k_actual < {K_MV} THEN s.k_actual::DOUBLE
+       ELSE {(K_MV - 1) * HEX12} / s.kth END AS est_distinct
+FROM sk s JOIN ex e USING (lang)
+"""
