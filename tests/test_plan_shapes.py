@@ -114,3 +114,29 @@ def test_validate_rels_joins_aggregated_counts_not_mentions(spark):
     assert "anchor" in plan
     # no join keyed on doc_id alone (the old mention×mention shape)
     assert re.search(r"keys \[1\]: \[doc_id", plan) is None
+
+
+def test_tpch_q6_pushes_every_filter_to_the_scan(spark):
+    """Q6's whole WHERE clause must reach the parquet reader as
+    PushedFilters — a scan that reads then filters is the regression this
+    guards."""
+    from clinicaltransformerrelationextraction_spark.operators.relational import (
+        q_tpch_q6,
+    )
+
+    plan = _plan(q_tpch_q6(spark, SF_SMOKE))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+
+
+def test_kmv_sketch_keeps_partial_window_group_limit(spark):
+    """The rank<=K filter must keep its map-side (partial) WindowGroupLimit
+    so each task prunes to a local K-min set before the shuffle — the
+    sketch-merge dataflow (one partial + one final node)."""
+    from clinicaltransformerrelationextraction_spark.operators.textstats import (
+        q_kmv_distinct,
+    )
+
+    plan = _plan(q_kmv_distinct(spark, SF_SMOKE))
+    assert _nodes(plan).count("WindowGroupLimit") == 2
