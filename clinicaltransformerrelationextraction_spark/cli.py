@@ -14,11 +14,15 @@ Usage (spark-submit shape):
         --scorer stub --max-seq-length 512 --data-format-mode 0
 
 Subcommands:
-    predict   documents parquet -> triples + brat .ann parquet (the
-              flagship pipeline; --binary-mode switches to the REL/NonRel
-              head + broadcast type-pair map)
-    resume    continue a checkpointed ledger run (skip done buckets)
-    eval      gold vs system triple tables -> P/R/F1
+    predict    documents parquet -> triples + brat .ann parquet (the
+               flagship pipeline; --binary-mode switches to the REL/NonRel
+               head + broadcast type-pair map)
+    resume     continue a checkpointed ledger run (skip done buckets)
+    eval       gold vs system triple tables -> P/R/F1
+    featurize  documents parquet -> train.tsv/dev.tsv in the reference's
+               8-column contract + labels.json (the training handoff the
+               reference's preprocessing notebook produces; the torch
+               training job consumes these unchanged)
 """
 
 from __future__ import annotations
@@ -125,6 +129,63 @@ def cmd_resume(args: argparse.Namespace, spark=None) -> dict:
                 1 for v in ledger.values() if v["status"] == "done")}
 
 
+def cmd_featurize(args: argparse.Namespace, spark=None) -> dict:
+    """Training-data featurization (preprocessing.ipynb cells 5-6,
+    sample_data/*.tsv contract): candidate pairs labeled by the gold rule,
+    split train/dev by a deterministic md5 fold, written as the
+    reference's 8-column TSV + labels.json."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .config import GOLD_MOD, GOLD_SHIFT, LABELS, NON_REL, STUB_W2, STUB_W3
+    from .operators.candidates import candidates
+    from .session import get_spark
+    from .sources.tsv import candidates_to_tsv_shape, write_candidates_tsv
+
+    spark = spark or get_spark(app_name="ctre-featurize")
+    docs = spark.read.parquet(args.input)
+    cfg = _cfg_from(args)
+    cand = candidates(docs, cfg)
+    # gold-rule label (the synthetic stand-in for gold brat relations;
+    # identical expression to the eval oracle, JVM-side)
+    n = len(LABELS)
+    stub_idx = (
+        F.length("s1_marked") + STUB_W2 * F.length("s2_marked")
+        + STUB_W3 * (F.col("i1") + F.col("i2"))
+    ) % n
+    lab_arr = F.array(*[F.lit(l) for l in LABELS])
+    gold = F.when(
+        (3 * F.col("i1") + F.col("i2")) % GOLD_MOD == 0,
+        F.element_at(lab_arr, (stub_idx + GOLD_SHIFT) % n + 1),
+    ).otherwise(F.lit(NON_REL))
+    labeled = cand.withColumn("gold_label", gold)
+    # deterministic md5 dev fold (the W6 split primitive): no global sort
+    fold = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "doc_id", "i1", "i2")), 1, 4),
+        16, 10,
+    ).cast("int") % args.n_folds
+    labeled = labeled.withColumn("fold", fold)
+    tr = candidates_to_tsv_shape(
+        labeled.filter(F.col("fold") != 0), label_col="gold_label"
+    )
+    dv = candidates_to_tsv_shape(
+        labeled.filter(F.col("fold") == 0), label_col="gold_label"
+    )
+    write_candidates_tsv(tr, f"{args.output}/train.tsv")
+    write_candidates_tsv(dv, f"{args.output}/dev.tsv")
+    os.makedirs(args.output, exist_ok=True)
+    with open(f"{args.output}/labels.json", "w") as f:
+        json.dump({lab: i for i, lab in enumerate(LABELS)}, f, indent=1)
+    n_train = spark.read.option("sep", "\t").option("header", True).csv(
+        f"{args.output}/train.tsv"
+    ).count()
+    n_dev = spark.read.option("sep", "\t").option("header", True).csv(
+        f"{args.output}/dev.tsv"
+    ).count()
+    return {"n_train": n_train, "n_dev": n_dev, "labels": len(LABELS)}
+
+
 def cmd_eval(args: argparse.Namespace, spark=None) -> dict:
     from .operators.evaluation import relation_match_prf
     from .session import get_spark
@@ -147,8 +208,15 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     p_eval = sub.add_parser("eval", help="system vs gold triples -> P/R/F1")
     p_eval.add_argument("--system", required=True)
     p_eval.add_argument("--gold", required=True)
+    p_feat = sub.add_parser(
+        "featurize", help="documents -> train/dev TSVs + labels.json"
+    )
+    _add_common(p_feat)
+    p_feat.add_argument("--n-folds", type=int, default=5,
+                        help="dev = fold 0 of an md5-mod split")
     args = top.parse_args(argv)
-    fn = {"predict": cmd_predict, "resume": cmd_resume, "eval": cmd_eval}
+    fn = {"predict": cmd_predict, "resume": cmd_resume, "eval": cmd_eval,
+          "featurize": cmd_featurize}
     out = fn[args.cmd](args, spark=spark)
     print(json.dumps(out))
     return out

@@ -71,3 +71,35 @@ def test_cli_eval(spark, tmp_path):
     res = main(["eval", "--system", s, "--gold", g], spark=spark)
     assert res["precision"] == 1.0 and res["recall"] < 1.0
     assert res["fn"] > 0 and res["fp"] == 0
+
+
+def test_cli_featurize_training_handoff(spark, tmp_path):
+    """featurize writes the reference's 8-column TSV contract: train + dev
+    partition the candidate set, rows round-trip through the no-quoting
+    TSV reader, labels.json carries the label->idx map."""
+    import json as _json
+
+    from clinicaltransformerrelationextraction_spark.config import LABELS
+    from clinicaltransformerrelationextraction_spark.operators.candidates import (
+        candidates,
+    )
+    from clinicaltransformerrelationextraction_spark.sources.tsv import (
+        TSV_COLUMNS,
+        read_candidates_tsv,
+    )
+
+    inp, docs = _input(spark, tmp_path)
+    out = str(tmp_path / "feat")
+    res = main(["featurize", "--input", inp, "--output", out], spark=spark)
+    n_cand = candidates(docs, PipelineConfig()).count()
+    assert res["n_train"] + res["n_dev"] == n_cand
+    assert 0 < res["n_dev"] < n_cand  # the md5 fold split is non-trivial
+    tr = read_candidates_tsv(spark, out + "/train.tsv")
+    assert tr.columns == TSV_COLUMNS
+    row = tr.filter(F.col("label") != "NonRel").first()
+    assert row is not None
+    assert row.label in LABELS
+    assert "[s1]" in row.sentence_1 and "[s2]" in row.sentence_2
+    with open(out + "/labels.json") as f:
+        lab = _json.load(f)
+    assert lab == {l: i for i, l in enumerate(LABELS)}
