@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (dict order keeps the FIRST insertion position; the module
         # spreads below re-supply the same callables harmlessly)
         "q_tpch_q6": relational.q_tpch_q6,
+        "q_events_asof": relational.q_events_asof,
         **_EVAL_QUERIES,
         **_TRAIN_QUERIES,
         **_REL_QUERIES,
@@ -323,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "q_triples_linked": oracle.q_triples_linked(),
         "q_segment_pages_pandas": oracle.q_segment_pages_pandas(),
         "q_tpch_q6": oracle_relational.q_tpch_q6(),
+        "q_events_asof": oracle_relational.q_events_asof(),
         **_EVAL_SQL,
         **_TRAIN_SQL,
         **_REL_SQL,

@@ -401,3 +401,48 @@ def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """AS-OF JOIN (backward, inclusive): for every click event, the most
+    recent view by the same user at or before the click. Spark has no
+    native as-of join; the scalable restatement is union-tag + ONE window
+    pass with last(ignorenulls) carry-forward — a single shuffle on
+    user_id, no range-join pair explosion, no per-row Python (the plan you
+    want at 10^12 events; pandas merge_asof would be the non-distributed
+    trap). Ties at the same timestamp: the view sorts first (tag 0), so an
+    exactly-simultaneous view matches; event_id breaks residual ties
+    deterministically. Timestamps surface as epoch micros (bigint) so the
+    cross-engine hash compares exact integers."""
+    ev = _t(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("tag"),
+        F.col("event_id").alias("v_id"),
+        F.lit(None).cast("long").alias("c_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("v_id"),
+        F.col("event_id").alias("c_id"),
+    )
+    u = views.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", F.coalesce("v_id", "c_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    carried = u.select(
+        "user_id", "c_id", us.alias("ev_us"),
+        F.last("v_id", ignorenulls=True).over(w).alias("asof_view_id"),
+        F.last(
+            F.when(F.col("v_id").isNotNull(), us), ignorenulls=True
+        ).over(w).alias("asof_view_us"),
+    )
+    return carried.filter(F.col("c_id").isNotNull()).select(
+        F.col("c_id").alias("click_event_id"),
+        "user_id",
+        F.col("ev_us").alias("click_us"),
+        "asof_view_id",
+        (F.col("ev_us") - F.col("asof_view_us")).alias("lag_us"),
+    )

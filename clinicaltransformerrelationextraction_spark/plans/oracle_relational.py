@@ -243,3 +243,28 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
 """
+
+
+def q_events_asof() -> str:
+    return """
+WITH u AS (
+  SELECT user_id, ts, 0 AS tag, event_id AS v_id, NULL::BIGINT AS c_id
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, 1, NULL::BIGINT, event_id
+  FROM events WHERE event_type = 'click'
+),
+carried AS (
+  SELECT user_id, c_id, epoch_us(ts)::BIGINT AS ev_us,
+    last_value(v_id IGNORE NULLS) OVER w AS asof_view_id,
+    last_value(CASE WHEN v_id IS NOT NULL THEN epoch_us(ts)::BIGINT END
+               IGNORE NULLS) OVER w AS asof_view_us
+  FROM u
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts, tag, coalesce(v_id, c_id)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT c_id AS click_event_id, user_id, ev_us AS click_us,
+  asof_view_id, (ev_us - asof_view_us)::BIGINT AS lag_us
+FROM carried WHERE c_id IS NOT NULL
+"""
