@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spreads below re-supply the same callables harmlessly)
         "q_tpch_q6": relational.q_tpch_q6,
         "q_events_asof": relational.q_events_asof,
+        "q_events_rollup": relational.q_events_rollup,
         **_EVAL_QUERIES,
         **_TRAIN_QUERIES,
         **_REL_QUERIES,
@@ -325,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
         "q_segment_pages_pandas": oracle.q_segment_pages_pandas(),
         "q_tpch_q6": oracle_relational.q_tpch_q6(),
         "q_events_asof": oracle_relational.q_events_asof(),
+        "q_events_rollup": oracle_relational.q_events_rollup(),
         **_EVAL_SQL,
         **_TRAIN_SQL,
         **_REL_SQL,

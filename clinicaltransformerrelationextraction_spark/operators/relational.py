@@ -446,3 +446,31 @@ def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
         "asof_view_id",
         (F.col("ev_us") - F.col("asof_view_us")).alias("lag_us"),
     )
+
+
+def q_events_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style time rollup (the TimescaleDB continuous-aggregate
+    shape): ONE pass over events producing the full granularity hierarchy
+    event_type -> day -> hour via ROLLUP — Catalyst expands the grouping
+    sets and combines map-side, so the three aggregate levels cost one
+    shuffle, not three queries. Value sums are quantized to integer micros
+    before summing (never sum doubles across rows); time buckets surface
+    as epoch micros so every compared column is an exact integer."""
+    ev = _t(spark, sf, "events")
+    ts = F.col("ts").cast("timestamp")
+    base = ev.select(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", ts)).alias("day_us"),
+        F.unix_micros(F.date_trunc("hour", ts)).alias("hour_us"),
+        F.floor(F.col("value") * 1_000_000 + 0.5).cast("long").alias(
+            "value_micro"
+        ),
+    )
+    return (
+        base.rollup("event_type", "day_us", "hour_us")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_events"),
+            F.sum("value_micro").alias("value_micro_sum"),
+        )
+    )

@@ -268,3 +268,21 @@ SELECT c_id AS click_event_id, user_id, ev_us AS click_us,
   asof_view_id, (ev_us - asof_view_us)::BIGINT AS lag_us
 FROM carried WHERE c_id IS NOT NULL
 """
+
+
+def q_events_rollup() -> str:
+    return """
+WITH base AS (
+  SELECT event_type,
+    epoch_us(date_trunc('day', ts))::BIGINT AS day_us,
+    epoch_us(date_trunc('hour', ts))::BIGINT AS hour_us,
+    floor(value * 1000000 + 0.5)::BIGINT AS value_micro
+  FROM events
+)
+SELECT event_type, day_us, hour_us,
+  GROUPING(event_type, day_us, hour_us)::BIGINT AS gid,
+  count(*)::BIGINT AS n_events,
+  sum(value_micro)::BIGINT AS value_micro_sum
+FROM base
+GROUP BY ROLLUP (event_type, day_us, hour_us)
+"""
