@@ -212,3 +212,63 @@ def test_ledger_snapshot_chain_across_crash_and_resume(spark, tmp_path):
     snaps = run.snapshots()
     assert len(snaps) == 2
     assert snaps[1]["parent_id"] == snaps[0]["snapshot_id"]
+
+
+# --- as-of join vs an INDEPENDENT reference (pandas merge_asof) ---------------
+
+def test_events_asof_matches_pandas_merge_asof(spark, tmp_path):
+    """The union-tag + window-carry-forward as-of join must agree with
+    pandas.merge_asof(direction='backward', allow_exact_matches=True) —
+    an independently implemented reference, unlike the DuckDB oracle
+    which restates the same window algorithm."""
+    import numpy as np
+    import pandas as pd
+
+    from clinicaltransformerrelationextraction_spark.operators.relational import (
+        q_events_asof,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 400
+    base = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            # coarse second grid to force plenty of exact-timestamp ties
+            "ts": base
+            + pd.to_timedelta(rng.integers(0, 120, n), unit="s"),
+            "user_id": rng.integers(0, 8, n).astype(np.int64),
+            "event_type": rng.choice(["view", "click", "error"], n),
+            "value": rng.random(n),
+            "props": ["{}"] * n,
+        }
+    )
+    sf = str(tmp_path / "asof_sf")
+    spark.createDataFrame(ev).write.mode("overwrite").parquet(
+        sf + "/events.parquet"
+    )
+    got = {
+        (r.click_event_id, r.asof_view_id)
+        for r in q_events_asof(spark, sf).collect()
+    }
+
+    views = ev[ev.event_type == "view"].sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    clicks = ev[ev.event_type == "click"].sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    m = pd.merge_asof(
+        clicks[["event_id", "ts", "user_id"]],
+        views[["event_id", "ts", "user_id"]].rename(
+            columns={"event_id": "view_event_id"}
+        ),
+        on="ts", by="user_id",
+        direction="backward", allow_exact_matches=True,
+    )
+    want = {
+        (int(r.event_id),
+         None if pd.isna(r.view_event_id) else int(r.view_event_id))
+        for r in m.itertuples()
+    }
+    assert got == want
