@@ -102,14 +102,13 @@ def cmd_predict(args: argparse.Namespace, spark=None) -> dict:
                         salt=args.salt)
         ledger = run.run(docs, cfg)
         n = sum(v["n_triples"] for v in ledger.values())
+        trip_df = run.triples(spark)  # manifest-resolved current state
     else:
         trip = run_pipeline(docs, cfg, salt=args.salt).triples
         trip.write.mode("overwrite").parquet(f"{args.output}/triples")
-        n = spark.read.parquet(f"{args.output}/triples").count()
-    ann = brat_render(
-        mentions(docs, cfg),
-        spark.read.parquet(f"{args.output}/triples"),
-    )
+        trip_df = spark.read.parquet(f"{args.output}/triples")
+        n = trip_df.count()
+    ann = brat_render(mentions(docs, cfg), trip_df)
     ann.write.mode("overwrite").parquet(f"{args.output}/brat")
     return {"mode": "ledger" if args.n_buckets > 1 else "single",
             "n_triples": n}

@@ -7,11 +7,20 @@ idempotence (src/batch_prediction.py:60-88; post_processing.py:82-85). Here:
 
 - the corpus is bucketed by ``pmod(hash(doc_id), n_buckets)`` — the sandbox
   stand-in for Iceberg's ``bucket(N, url)`` partition spec;
-- each bucket is processed independently and written with dynamic
-  partition overwrite (idempotent re-run == INSERT OVERWRITE PARTITION /
-  Iceberg replacePartitions);
+- each bucket commit writes an IMMUTABLE versioned data directory
+  (``data/b<bucket>_v<version>``) — never overwriting live files — and the
+  manifest (ledger + snapshot log) is what moves, exactly Iceberg's
+  replacePartitions commit protocol: readers resolving through an older
+  snapshot keep a consistent view while writers commit, re-running a
+  bucket is atomic (the new version becomes visible only via the metadata
+  swap), and an empty replacement simply drops the bucket from the
+  manifest;
 - a ``_ledger`` table records (partition_id, status, n_triples, n_docs,
-  wall_sec) — the per-partition lineage + metrics;
+  wall_sec, path, version) — the per-partition lineage + metrics;
+- ``_snapshots.json`` appends one snapshot per completed run with the full
+  bucket->file manifest and parent chaining; ``triples(snapshot_id=...)``
+  TIME-TRAVELS to any retained snapshot; ``expire_snapshots`` GCs data
+  directories no retained snapshot references;
 - ``resume()`` skips partitions whose ledger row says done, exactly the
   reference's skip-if-exists, but transactional per partition.
 
@@ -31,6 +40,14 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 from .pipeline import run_pipeline
+
+# the triples-table schema (for empty-manifest reads, where no parquet
+# file exists to infer from)
+TRIPLES_DDL = (
+    "doc_id bigint, rel_id string, pred string, subj_id string, "
+    "obj_id string, score double, sent_diff int, i1 int, i2 int, "
+    "bucket int"
+)
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -97,7 +114,6 @@ class LedgerRun:
         simulating a mid-run crash."""
         cfg = cfg or PipelineConfig()
         spark = docs.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         bucketed = docs.withColumn(
             "bucket", F.pmod(F.hash("doc_id"), F.lit(self.n_buckets))
         )
@@ -113,32 +129,28 @@ class LedgerRun:
             trip = run_pipeline(part, cfg, salt=self.salt).triples.withColumn(
                 "bucket", F.lit(b)
             )
-            # idempotent partition overwrite: re-running a bucket replaces
-            # exactly its own output files. Dynamic overwrite writes NO
-            # files for an empty result, which would (a) leave stale rows
-            # from a previous run of this bucket and (b) leave nothing to
-            # read if the first bucket is empty — so clear the partition
-            # directory explicitly first (Iceberg replacePartitions
-            # semantics, where empty replacement drops the partition).
-            # Deletion goes through the Hadoop FileSystem API so it works
-            # on hdfs://s3a:// too, not only local POSIX paths.
-            part_dir = self.triples_dir + f"/bucket={b}"
-            _fs_delete(spark, part_dir)
-            trip.write.mode("overwrite").partitionBy("bucket").parquet(
-                self.triples_dir
-            )
+            # Iceberg-style commit: write an IMMUTABLE new data directory
+            # per bucket version — never touching the live files — then
+            # swap the metadata. A crashed write leaves an orphan dir the
+            # next expire_snapshots GCs; concurrent readers resolving the
+            # previous manifest never see a half-replaced partition; an
+            # empty replacement just records n_triples = 0 (the bucket
+            # drops out of the manifest-resolved read).
+            version = ledger.get(key, {}).get("version", -1) + 1
+            path = f"{self.triples_dir}/data/b{b}_v{version}"
+            trip.write.mode("overwrite").parquet(path)
+            # explicit schema: an empty bucket writes no part files, and
+            # schema-less parquet inference would fail on it
             n_triples = (
-                spark.read.parquet(self.triples_dir)
-                .filter(F.col("bucket") == b)
-                .count()
-                if _fs_exists(spark, part_dir)
-                else 0
+                spark.read.schema(trip.schema).parquet(path).count()
             )
             ledger[key] = {
                 "status": "done",
                 "n_docs": n_docs,
                 "n_triples": n_triples,
                 "wall_sec": round(time.time() - t0, 3),
+                "path": path,
+                "version": version,
             }
             self._write_ledger(ledger)
             done += 1
@@ -166,10 +178,12 @@ class LedgerRun:
 
     def _append_snapshot(self, ledger: dict[str, dict],
                          buckets_written: int) -> dict:
-        snaps = self.snapshots()
         snap = {
-            "snapshot_id": len(snaps) + 1,
-            "parent_id": snaps[-1]["snapshot_id"] if snaps else None,
+            "snapshot_id": len(self.snapshots()) + 1,
+            "parent_id": (
+                self.snapshots()[-1]["snapshot_id"]
+                if self.snapshots() else None
+            ),
             "ts": time.time(),
             "operation": "replace-partitions",
             "buckets_written": buckets_written,
@@ -181,7 +195,14 @@ class LedgerRun:
                 v.get("n_triples", 0) for v in ledger.values()
             ),
             "total_docs": sum(v.get("n_docs", 0) for v in ledger.values()),
+            # the manifest: which immutable data file set IS this snapshot
+            "manifest": {
+                k: {"path": v["path"], "n_triples": v["n_triples"]}
+                for k, v in ledger.items()
+                if v.get("status") == "done" and "path" in v
+            },
         }
+        snaps = self.snapshots()
         snaps.append(snap)
         tmp = self.snapshots_path + ".tmp"
         with open(tmp, "w") as f:
@@ -189,14 +210,72 @@ class LedgerRun:
         os.replace(tmp, self.snapshots_path)
         return snap
 
+    def expire_snapshots(self, spark: SparkSession,
+                         keep_last: int = 2) -> list[str]:
+        """GC: retain the last ``keep_last`` snapshots, drop the older
+        entries from the log, and delete every data directory that neither
+        a retained snapshot nor the CURRENT ledger references (this also
+        collects orphan directories from crashed writes). Returns the
+        deleted paths."""
+        snaps = self.snapshots()
+        kept, dropped = snaps[-keep_last:] if keep_last else [], \
+            snaps[:-keep_last] if keep_last else snaps
+        # data-dir basenames (b<bucket>_v<version>) are unique per table,
+        # which sidesteps scheme differences (file:/x vs /x)
+        live = {
+            os.path.basename(m["path"])
+            for s in kept
+            for m in s.get("manifest", {}).values()
+        } | {
+            os.path.basename(v["path"])
+            for v in self._read_ledger().values() if "path" in v
+        }
+        data_root = f"{self.triples_dir}/data"
+        deleted: list[str] = []
+        if _fs_exists(spark, data_root):
+            fs, hroot = _hadoop_fs(spark, data_root)
+            for st in fs.listStatus(hroot):
+                if st.getPath().getName() not in live:
+                    fs.delete(st.getPath(), True)
+                    deleted.append(st.getPath().toString())
+        if dropped:
+            tmp = self.snapshots_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(kept, f, indent=1)
+            os.replace(tmp, self.snapshots_path)
+        return deleted
+
     def resume(self, docs: DataFrame,
                cfg: PipelineConfig | None = None) -> dict[str, dict]:
         """Continue a crashed run: only buckets without a done ledger row
         are (re)processed."""
         return self.run(docs, cfg)
 
-    def triples(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.triples_dir)
+    def triples(self, spark: SparkSession,
+                snapshot_id: int | None = None) -> DataFrame:
+        """Manifest-resolved read. Default: the CURRENT table state (the
+        live ledger). ``snapshot_id``: time-travel to that retained
+        snapshot's file set — the old data dirs are immutable, so the view
+        is exactly what that commit produced."""
+        if snapshot_id is None:
+            manifest = {
+                k: v for k, v in self._read_ledger().items()
+                if v.get("status") == "done" and "path" in v
+            }
+        else:
+            by_id = {s["snapshot_id"]: s for s in self.snapshots()}
+            if snapshot_id not in by_id:
+                raise ValueError(
+                    f"snapshot {snapshot_id} not found (retained: "
+                    f"{sorted(by_id)}); it may have been expired"
+                )
+            manifest = by_id[snapshot_id]["manifest"]
+        paths = [
+            m["path"] for m in manifest.values() if m["n_triples"] > 0
+        ]
+        if not paths:
+            return spark.createDataFrame([], TRIPLES_DDL)
+        return spark.read.parquet(*paths)
 
 
 def latest_checkpoint(ckpt_root: str, prefix: str = "ckpt_") -> str | None:

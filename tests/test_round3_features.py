@@ -173,11 +173,15 @@ def test_cli_salted_ledger_matches_unsalted(spark, tmp_path):
     r2 = main(["predict", "--input", inp, "--output", out_salt,
                "--n-buckets", "2", "--salt"], spark=spark)
     assert r1["n_triples"] == r2["n_triples"]
+    from clinicaltransformerrelationextraction_spark.plans.ledger import (
+        LedgerRun,
+    )
+
     key = ["doc_id", "rel_id", "pred", "subj_id", "obj_id"]
-    a = {tuple(r) for r in
-         spark.read.parquet(out_plain + "/triples").select(*key).collect()}
-    b = {tuple(r) for r in
-         spark.read.parquet(out_salt + "/triples").select(*key).collect()}
+    a = {tuple(r) for r in LedgerRun(out_dir=out_plain, n_buckets=2)
+         .triples(spark).select(*key).collect()}
+    b = {tuple(r) for r in LedgerRun(out_dir=out_salt, n_buckets=2)
+         .triples(spark).select(*key).collect()}
     assert a == b
 
 
@@ -272,3 +276,45 @@ def test_events_asof_matches_pandas_merge_asof(spark, tmp_path):
         for r in m.itertuples()
     }
     assert got == want
+
+
+def test_ledger_time_travel_and_expire(spark, tmp_path):
+    """Immutable versioned data dirs + manifest snapshots = time travel:
+    after a bucket is re-run with different input, snapshot 1 still reads
+    the ORIGINAL rows; expire_snapshots drops it and GCs exactly the data
+    dirs nothing retained references."""
+    import pytest as _pytest
+
+    from clinicaltransformerrelationextraction_spark.plans.ledger import (
+        LedgerRun,
+    )
+
+    docs = load_documents(spark, SF_SMOKE).limit(80)
+    run = LedgerRun(out_dir=str(tmp_path / "tt"), n_buckets=2)
+    run.run(docs, PipelineConfig())
+    v1 = run.triples(spark).count()
+    assert v1 > 0
+
+    # replace bucket 0 with a shrunken input -> new version, new snapshot
+    ledger = run._read_ledger()
+    ledger["0"]["status"] = "redo"
+    run._write_ledger(ledger)
+    half = docs.limit(30)
+    run.resume(half, PipelineConfig())
+    snaps = run.snapshots()
+    assert len(snaps) == 2 and snaps[1]["parent_id"] == snaps[0]["snapshot_id"]
+    v2 = run.triples(spark).count()
+    assert v2 != v1  # current state changed...
+    assert run.triples(spark, snapshot_id=1).count() == v1  # ...history didn't
+    # the two snapshots share bucket 1's file but diverge on bucket 0
+    assert snaps[0]["manifest"]["1"]["path"] == snaps[1]["manifest"]["1"]["path"]
+    assert snaps[0]["manifest"]["0"]["path"] != snaps[1]["manifest"]["0"]["path"]
+
+    # expire: keep only the latest snapshot; snapshot 1's exclusive data
+    # dir is GC'd, time travel to it now errors, current state unaffected
+    deleted = run.expire_snapshots(spark, keep_last=1)
+    assert any("b0_v0" in p for p in deleted)
+    assert all("b1_" not in p for p in deleted)  # shared file survives
+    assert run.triples(spark).count() == v2
+    with _pytest.raises(ValueError, match="expired"):
+        run.triples(spark, snapshot_id=1)
