@@ -296,6 +296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q6": relational.q_tpch_q6,
         "q_events_asof": relational.q_events_asof,
         "q_events_rollup": relational.q_events_rollup,
+        "q_events_sessions": relational.q_events_sessions,
+        "q_corpus_clean": textstats.q_corpus_clean,
         **_EVAL_QUERIES,
         **_TRAIN_QUERIES,
         **_REL_QUERIES,
@@ -327,6 +329,8 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q6": oracle_relational.q_tpch_q6(),
         "q_events_asof": oracle_relational.q_events_asof(),
         "q_events_rollup": oracle_relational.q_events_rollup(),
+        "q_events_sessions": oracle_relational.q_events_sessions(),
+        "q_corpus_clean": oracle_training.q_corpus_clean(),
         **_EVAL_SQL,
         **_TRAIN_SQL,
         **_REL_SQL,

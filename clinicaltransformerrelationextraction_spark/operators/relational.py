@@ -474,3 +474,37 @@ def q_events_rollup(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("value_micro").alias("value_micro_sum"),
         )
     )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization as a BATCH query — the oracle-checked twin
+    of the stateful streaming sessionizer (streaming/sessionize.py): a new
+    session starts when a user's inactivity exceeds SESSION_GAP_US. The
+    classic two-window formulation (lag -> boundary flag -> running sum)
+    needs only ONE shuffle on user_id; both window passes share the same
+    (user_id, ts) sort. All compared columns are exact integers."""
+    ev = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.select(
+        "user_id", us.alias("ev_us"), "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ev_us", "event_id")
+    flagged = base.withColumn(
+        "new_session",
+        F.when(
+            F.col("ev_us") - F.lag("ev_us").over(w) > SESSION_GAP_US, 1
+        ).otherwise(0),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn(
+        "session_n", F.sum("new_session").over(wrun)
+    )
+    return sessions.groupBy("user_id", "session_n").agg(
+        F.count("*").alias("n_events"),
+        F.min("ev_us").alias("start_us"),
+        F.max("ev_us").alias("end_us"),
+        (F.max("ev_us") - F.min("ev_us")).alias("duration_us"),
+    )

@@ -139,3 +139,44 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return sk.join(exact, "lang").select(
         "lang", "k_actual", "kth", "n_exact", est.alias("est_distinct")
     )
+
+
+CLEAN_MIN_DISTINCT_RATIO = 0.3
+CLEAN_MIN_TOKENS = 5
+
+
+def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed training-data cleaning pass a real corpus gets before
+    KG construction, as ONE query: exact-dedup keeper selection (md5
+    group, min doc_id) -> quality gate (distinct-token ratio + minimum
+    length) -> per-language retention stats. The dedup groupBy is the only
+    corpus-wide shuffle; the quality features are in-row. Output counts
+    are exact integers."""
+    d = _docs(spark, sf)
+    toks = F.split("text", " ")
+    feats = d.select(
+        "doc_id", "lang",
+        F.md5("text").alias("th"),
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("dr"),
+    )
+    keeper = feats.groupBy("th").agg(F.min("doc_id").alias("keeper_id"))
+    kept = (
+        feats.join(keeper, "th")
+        .filter(
+            (F.col("doc_id") == F.col("keeper_id"))
+            & (F.col("dr") >= CLEAN_MIN_DISTINCT_RATIO)
+            & (F.col("n_tokens") >= CLEAN_MIN_TOKENS)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+    )
+    totals = feats.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return totals.join(kept, "lang", "left").select(
+        "lang", "n_docs",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+    )

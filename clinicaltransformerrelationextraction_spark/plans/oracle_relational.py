@@ -286,3 +286,32 @@ SELECT event_type, day_us, hour_us,
 FROM base
 GROUP BY ROLLUP (event_type, day_us, hour_us)
 """
+
+
+def q_events_sessions() -> str:
+    from ..operators.relational import SESSION_GAP_US
+
+    return f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS ev_us, event_id FROM events
+),
+flagged AS (
+  SELECT user_id, ev_us, event_id,
+    CASE WHEN ev_us - lag(ev_us) OVER w > {SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ev_us, event_id)
+),
+sessions AS (
+  SELECT user_id, ev_us,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ev_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+  FROM flagged
+)
+SELECT user_id, session_n::BIGINT AS session_n,
+  count(*)::BIGINT AS n_events,
+  min(ev_us)::BIGINT AS start_us,
+  max(ev_us)::BIGINT AS end_us,
+  (max(ev_us) - min(ev_us))::BIGINT AS duration_us
+FROM sessions GROUP BY user_id, session_n
+"""

@@ -541,3 +541,35 @@ SELECT s.lang, s.k_actual, s.kth, e.n_exact,
        ELSE {(K_MV - 1) * HEX12} / s.kth END AS est_distinct
 FROM sk s JOIN ex e USING (lang)
 """
+
+
+def q_corpus_clean() -> str:
+    from ..operators.textstats import (
+        CLEAN_MIN_DISTINCT_RATIO,
+        CLEAN_MIN_TOKENS,
+    )
+
+    return f"""
+WITH feats AS (
+  SELECT doc_id, lang, md5(text) AS th,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(list_distinct(string_split(text, ' ')))
+      / len(string_split(text, ' ')) AS dr
+  FROM documents
+),
+keeper AS (SELECT th, min(doc_id) AS keeper_id FROM feats GROUP BY th),
+kept AS (
+  SELECT lang, count(*)::BIGINT AS n_kept,
+    sum(n_tokens)::BIGINT AS kept_tokens
+  FROM feats JOIN keeper USING (th)
+  WHERE doc_id = keeper_id
+    AND dr >= {CLEAN_MIN_DISTINCT_RATIO}
+    AND n_tokens >= {CLEAN_MIN_TOKENS}
+  GROUP BY lang
+),
+totals AS (SELECT lang, count(*)::BIGINT AS n_docs FROM feats GROUP BY lang)
+SELECT t.lang, t.n_docs,
+  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+  coalesce(k.kept_tokens, 0)::BIGINT AS kept_tokens
+FROM totals t LEFT JOIN kept k USING (lang)
+"""
