@@ -130,15 +130,14 @@ def _q_rel_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_eval_prf(spark: SparkSession, sf: str) -> DataFrame:
+    from clinicaltransformerrelationextraction_spark.operators.evaluation import (
+        gold_label_expr,
+    )
+
     scored = score_candidates(candidates(load_documents(spark, sf), CFG), CFG)
-    lab_arr = F.array(*[F.lit(l) for l in LABELS])
-    gold_idx = (F.col("label_idx") + GOLD_SHIFT) % len(LABELS)
     with_gold = scored.withColumn(
         "gold_label",
-        F.when(
-            (3 * F.col("i1") + F.col("i2")) % GOLD_MOD == 0,
-            F.element_at(lab_arr, gold_idx + 1),
-        ).otherwise(F.lit(NON_REL)),
+        gold_label_expr(F.col("label_idx"), F.col("i1"), F.col("i2")),
     )
     return prf_counts(with_gold, LABELS)
 

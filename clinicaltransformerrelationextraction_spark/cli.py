@@ -137,8 +137,9 @@ def cmd_featurize(args: argparse.Namespace, spark=None) -> dict:
 
     from pyspark.sql import functions as F
 
-    from .config import GOLD_MOD, GOLD_SHIFT, LABELS, NON_REL, STUB_W2, STUB_W3
+    from .config import LABELS
     from .operators.candidates import candidates
+    from .operators.evaluation import gold_label_expr, stub_label_idx_expr
     from .session import get_spark
     from .sources.tsv import candidates_to_tsv_shape, write_candidates_tsv
 
@@ -146,19 +147,14 @@ def cmd_featurize(args: argparse.Namespace, spark=None) -> dict:
     docs = spark.read.parquet(args.input)
     cfg = _cfg_from(args)
     cand = candidates(docs, cfg)
-    # gold-rule label (the synthetic stand-in for gold brat relations;
-    # identical expression to the eval oracle, JVM-side)
-    n = len(LABELS)
-    stub_idx = (
-        F.length("s1_marked") + STUB_W2 * F.length("s2_marked")
-        + STUB_W3 * (F.col("i1") + F.col("i2"))
-    ) % n
-    lab_arr = F.array(*[F.lit(l) for l in LABELS])
-    gold = F.when(
-        (3 * F.col("i1") + F.col("i2")) % GOLD_MOD == 0,
-        F.element_at(lab_arr, (stub_idx + GOLD_SHIFT) % n + 1),
-    ).otherwise(F.lit(NON_REL))
-    labeled = cand.withColumn("gold_label", gold)
+    # gold-rule label via the SHARED expressions (one definition for
+    # featurize labels, eval gold and loss counts)
+    idx = stub_label_idx_expr(
+        F.col("s1_marked"), F.col("s2_marked"), F.col("i1"), F.col("i2")
+    )
+    labeled = cand.withColumn(
+        "gold_label", gold_label_expr(idx, F.col("i1"), F.col("i2"))
+    )
     # deterministic md5 dev fold (the W6 split primitive): no global sort
     fold = F.conv(
         F.substring(F.md5(F.concat_ws("|", "doc_id", "i1", "i2")), 1, 4),
@@ -176,12 +172,11 @@ def cmd_featurize(args: argparse.Namespace, spark=None) -> dict:
     os.makedirs(args.output, exist_ok=True)
     with open(f"{args.output}/labels.json", "w") as f:
         json.dump({lab: i for i, lab in enumerate(LABELS)}, f, indent=1)
-    n_train = spark.read.option("sep", "\t").option("header", True).csv(
-        f"{args.output}/train.tsv"
-    ).count()
-    n_dev = spark.read.option("sep", "\t").option("header", True).csv(
-        f"{args.output}/dev.tsv"
-    ).count()
+    # read back through the SAME no-quoting reader the contract defines
+    from .sources.tsv import read_candidates_tsv
+
+    n_train = read_candidates_tsv(spark, f"{args.output}/train.tsv").count()
+    n_dev = read_candidates_tsv(spark, f"{args.output}/dev.tsv").count()
     return {"n_train": n_train, "n_dev": n_dev, "labels": len(LABELS)}
 
 

@@ -234,7 +234,9 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("src_comp").alias("neigh_min"))
         )
-        new_labels = (
+        # ONE join per round: the changed flag is derived in the same pass
+        # (NULL neigh_min compares false), not via a second labels join
+        step = (
             labels.join(prop, "doc_id", "left")
             .select(
                 "doc_id",
@@ -242,16 +244,13 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("cluster_id"),
                     F.coalesce("neigh_min", F.col("cluster_id")),
                 ).alias("cluster_id"),
+                (F.col("neigh_min") < F.col("cluster_id"))
+                .cast("int").alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = step.filter(F.col("changed") == 1).count()
+        labels = step.select("doc_id", "cluster_id")
         if changed == 0:
             break
     return labels.withColumn(

@@ -222,23 +222,18 @@ def _loss_units(n_labels: int) -> tuple[int, int]:
 def _loss_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Per-gold-class confusion mass of the stub predictions vs the
     synthetic gold rule (the same rule as q_eval_prf): one grouped pass."""
-    from ..config import GOLD_MOD, GOLD_SHIFT, LABELS, NON_REL
     from ..plans.pipeline import load_documents
     from .candidates import candidates
+    from .evaluation import gold_label_expr
     from .scoring import score_candidates
 
     cfg = PipelineConfig()
     scored = score_candidates(
         candidates(load_documents(spark, sf), cfg), cfg
     )
-    lab_arr = F.array(*[F.lit(l) for l in LABELS])
-    gold_idx = (F.col("label_idx") + GOLD_SHIFT) % len(LABELS)
     with_gold = scored.withColumn(
         "gold_label",
-        F.when(
-            (3 * F.col("i1") + F.col("i2")) % GOLD_MOD == 0,
-            F.element_at(lab_arr, gold_idx + 1),
-        ).otherwise(F.lit(NON_REL)),
+        gold_label_expr(F.col("label_idx"), F.col("i1"), F.col("i2")),
     )
     return with_gold.groupBy(F.col("gold_label").alias("label")).agg(
         F.count("*").alias("n_gold"),

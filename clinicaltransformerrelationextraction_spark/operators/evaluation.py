@@ -19,7 +19,35 @@ from ..config import NON_REL
 __all__ = [
     "prf_counts", "micro_prf", "relation_match_prf",
     "span_match_strict", "span_match_lenient",
+    "stub_label_idx_expr", "gold_label_expr",
 ]
+
+
+def stub_label_idx_expr(s1_col, s2_col, i1_col, i2_col):
+    """The stub scorer's label index as a Column — the SINGLE Spark-side
+    definition (mirrors config stub semantics and the oracle's stub_idx);
+    every consumer (featurize labels, eval gold, loss counts) must use
+    this or the scorer's label_idx output, never a hand-copied formula."""
+    from ..config import LABELS, STUB_W2, STUB_W3
+
+    return (
+        F.length(s1_col) + STUB_W2 * F.length(s2_col)
+        + STUB_W3 * (i1_col + i2_col)
+    ) % len(LABELS)
+
+
+def gold_label_expr(label_idx_col, i1_col, i2_col):
+    """The synthetic gold-relation rule as a Column: gold iff
+    (3*i1 + i2) % GOLD_MOD == 0, label = LABELS[(idx + GOLD_SHIFT) % n],
+    else NonRel. Single definition shared by eval, loss and featurize."""
+    from ..config import GOLD_MOD, GOLD_SHIFT, LABELS
+
+    lab_arr = F.array(*[F.lit(l) for l in LABELS])
+    gidx = (label_idx_col + GOLD_SHIFT) % len(LABELS)
+    return F.when(
+        (3 * i1_col + i2_col) % GOLD_MOD == 0,
+        F.element_at(lab_arr, gidx + 1),
+    ).otherwise(F.lit(NON_REL))
 
 
 def prf_counts(scored: DataFrame, labels: list[str],

@@ -174,7 +174,9 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy(F.col("dst").alias("entity"))
             .agg(F.min("src_comp").alias("neigh_min"))
         )
-        new_labels = (
+        # ONE join per round: the changed flag is derived in the same pass
+        # (NULL neigh_min compares false), not via a second labels join
+        step = (
             labels.join(prop, "entity", "left")
             .select(
                 "entity",
@@ -182,16 +184,13 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("component"),
                     F.coalesce("neigh_min", F.col("component")),
                 ).alias("component"),
+                (F.col("neigh_min") < F.col("component"))
+                .cast("int").alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "entity")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = step.filter(F.col("changed") == 1).count()
+        labels = step.select("entity", "component")
         if changed == 0:
             break
     return labels.withColumn(

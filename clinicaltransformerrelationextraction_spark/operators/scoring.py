@@ -151,6 +151,8 @@ def _make_mlp_scorer(cfg: PipelineConfig, labels: list[str]):
             tok_idx_cache[tok] = h
         return h
 
+    from .tokenize import truncate_uni  # worker-side import, once per task
+
     def scorer(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         x = np.zeros((len(pdf), FEAT_DIM), dtype=np.float64)
         half = FEAT_DIM // 2
@@ -161,8 +163,6 @@ def _make_mlp_scorer(cfg: PipelineConfig, labels: list[str]):
             if uni:
                 # uni mode: ONE bag over the concatenated window (no
                 # half-split; 4-way marker truncation, data_utils.py:420)
-                from .tokenize import truncate_uni
-
                 toks = (s1 + " " + s2).split(" ")
                 if len(toks) > budget:
                     toks = truncate_uni(toks, budget)

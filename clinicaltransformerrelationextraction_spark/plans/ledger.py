@@ -72,6 +72,68 @@ def _fs_delete(spark: SparkSession, path: str) -> None:
         fs.delete(hpath, True)
 
 
+def _has_scheme(path: str) -> bool:
+    """True for URI paths (hdfs://, s3a://, file://...): metadata IO must
+    go through the Hadoop FileSystem, not driver-local os/open."""
+    return "://" in path or path.startswith("file:")
+
+
+def _active_spark() -> SparkSession:
+    s = SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError(
+            "a scheme-qualified out_dir needs an active SparkSession for "
+            "Hadoop-FileSystem metadata IO"
+        )
+    return s
+
+
+def _read_text(path: str) -> str | None:
+    """Read a small metadata file; None if absent. Hadoop-FS-routed for
+    scheme-qualified paths so the commit protocol works on hdfs://s3a://
+    (driver-local open() would silently see nothing there)."""
+    if not _has_scheme(path):
+        if os.path.exists(path):
+            with open(path) as f:
+                return f.read()
+        return None
+    spark = _active_spark()
+    fs, hp = _hadoop_fs(spark, path)
+    if not fs.exists(hp):
+        return None
+    stream = fs.open(hp)
+    try:
+        jvm = spark._jvm
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def _write_text(path: str, text: str) -> None:
+    """Atomically replace a small metadata file (write tmp + rename),
+    Hadoop-FS-routed for scheme-qualified paths."""
+    if not _has_scheme(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+        return
+    spark = _active_spark()
+    fs, hp = _hadoop_fs(spark, path)
+    _, htmp = _hadoop_fs(spark, path + ".tmp")
+    out = fs.create(htmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(hp):
+        fs.delete(hp, False)
+    fs.rename(htmp, hp)
+
+
 @dataclass
 class LedgerRun:
     out_dir: str
@@ -91,17 +153,13 @@ class LedgerRun:
         return os.path.join(self.out_dir, "_snapshots.json")
 
     def _read_ledger(self) -> dict[str, dict]:
-        if os.path.exists(self.ledger_path):
-            with open(self.ledger_path) as f:
-                return json.load(f)
-        return {}
+        text = _read_text(self.ledger_path)
+        return json.loads(text) if text is not None else {}
 
     def _write_ledger(self, ledger: dict[str, dict]) -> None:
-        os.makedirs(self.out_dir, exist_ok=True)
-        tmp = self.ledger_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(ledger, f, indent=1, sort_keys=True)
-        os.replace(tmp, self.ledger_path)
+        _write_text(
+            self.ledger_path, json.dumps(ledger, indent=1, sort_keys=True)
+        )
 
     def run(
         self,
@@ -171,19 +229,20 @@ class LedgerRun:
     # the snapshot log is what makes the ledger auditable in the meantime.
 
     def snapshots(self) -> list[dict]:
-        if os.path.exists(self.snapshots_path):
-            with open(self.snapshots_path) as f:
-                return json.load(f)
-        return []
+        text = _read_text(self.snapshots_path)
+        return json.loads(text) if text is not None else []
 
     def _append_snapshot(self, ledger: dict[str, dict],
                          buckets_written: int) -> dict:
+        prior = self.snapshots()
         snap = {
-            "snapshot_id": len(self.snapshots()) + 1,
-            "parent_id": (
-                self.snapshots()[-1]["snapshot_id"]
-                if self.snapshots() else None
-            ),
+            # max+1, NOT len+1: expire_snapshots truncates the log, and a
+            # length-derived id would collide with a retained snapshot
+            # (shadowing it in time travel and self-parenting the chain)
+            "snapshot_id": max(
+                (s["snapshot_id"] for s in prior), default=0
+            ) + 1,
+            "parent_id": prior[-1]["snapshot_id"] if prior else None,
             "ts": time.time(),
             "operation": "replace-partitions",
             "buckets_written": buckets_written,
@@ -202,12 +261,8 @@ class LedgerRun:
                 if v.get("status") == "done" and "path" in v
             },
         }
-        snaps = self.snapshots()
-        snaps.append(snap)
-        tmp = self.snapshots_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(snaps, f, indent=1)
-        os.replace(tmp, self.snapshots_path)
+        prior.append(snap)
+        _write_text(self.snapshots_path, json.dumps(prior, indent=1))
         return snap
 
     def expire_snapshots(self, spark: SparkSession,
@@ -239,10 +294,7 @@ class LedgerRun:
                     fs.delete(st.getPath(), True)
                     deleted.append(st.getPath().toString())
         if dropped:
-            tmp = self.snapshots_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(kept, f, indent=1)
-            os.replace(tmp, self.snapshots_path)
+            _write_text(self.snapshots_path, json.dumps(kept, indent=1))
         return deleted
 
     def resume(self, docs: DataFrame,
@@ -258,9 +310,22 @@ class LedgerRun:
         snapshot's file set — the old data dirs are immutable, so the view
         is exactly what that commit produced."""
         if snapshot_id is None:
+            ledger = self._read_ledger()
+            stale = [
+                k for k, v in ledger.items()
+                if v.get("status") == "done" and "path" not in v
+            ]
+            if stale:
+                # never silently truncate: a done row without a data path
+                # is a pre-manifest-format ledger — re-run those buckets
+                raise ValueError(
+                    f"ledger rows for buckets {sorted(stale)} predate the "
+                    "manifest format (no 'path'); clear their status to "
+                    "re-run them under versioned commits"
+                )
             manifest = {
-                k: v for k, v in self._read_ledger().items()
-                if v.get("status") == "done" and "path" in v
+                k: v for k, v in ledger.items()
+                if v.get("status") == "done"
             }
         else:
             by_id = {s["snapshot_id"]: s for s in self.snapshots()}

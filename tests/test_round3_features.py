@@ -318,3 +318,50 @@ def test_ledger_time_travel_and_expire(spark, tmp_path):
     assert run.triples(spark).count() == v2
     with _pytest.raises(ValueError, match="expired"):
         run.triples(spark, snapshot_id=1)
+
+
+def test_ledger_on_scheme_qualified_uri(spark, tmp_path):
+    """file:// out_dir drives the Hadoop-FileSystem metadata branch end to
+    end (the same code path hdfs://s3a:// take): ledger + snapshots are
+    written/read through the FS API, not driver-local open()."""
+    from clinicaltransformerrelationextraction_spark.plans.ledger import (
+        LedgerRun,
+    )
+
+    docs = load_documents(spark, SF_SMOKE).limit(40)
+    run = LedgerRun(out_dir="file://" + str(tmp_path / "hd"), n_buckets=2)
+    ledger = run.run(docs, PipelineConfig())
+    assert all(v["status"] == "done" for v in ledger.values())
+    total = sum(v["n_triples"] for v in ledger.values())
+    assert run.triples(spark).count() == total
+    assert len(run.snapshots()) == 1
+    # resume over a finished run: metadata read back through the FS, no-op
+    run.resume(docs, PipelineConfig())
+    assert len(run.snapshots()) == 1
+    # time travel works through FS-routed snapshots too
+    assert run.triples(spark, snapshot_id=1).count() == total
+
+
+def test_snapshot_ids_unique_after_expire(spark, tmp_path):
+    """Snapshot ids must be max+1, not len+1: after expire truncates the
+    log, a new commit must NOT collide with a retained snapshot id."""
+    from clinicaltransformerrelationextraction_spark.plans.ledger import (
+        LedgerRun,
+    )
+
+    docs = load_documents(spark, SF_SMOKE).limit(40)
+    run = LedgerRun(out_dir=str(tmp_path / "ids"), n_buckets=2)
+    run.run(docs, PipelineConfig())                       # snapshot 1
+    ledger = run._read_ledger()
+    ledger["0"]["status"] = "redo"
+    run._write_ledger(ledger)
+    run.resume(docs, PipelineConfig())                    # snapshot 2
+    run.expire_snapshots(spark, keep_last=1)              # log = [2]
+    ledger = run._read_ledger()
+    ledger["1"]["status"] = "redo"
+    run._write_ledger(ledger)
+    run.resume(docs, PipelineConfig())                    # must be 3
+    snaps = run.snapshots()
+    ids = [s["snapshot_id"] for s in snaps]
+    assert ids == [2, 3]
+    assert snaps[-1]["parent_id"] == 2
