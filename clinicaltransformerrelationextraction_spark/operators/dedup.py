@@ -203,12 +203,16 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
     Iterative min-label propagation (Pregel-lite): comp(v) <-
     min(comp(v), min over neighbors comp(u)) until a fixpoint, lineage cut
-    per iteration with localCheckpoint. Iteration count is the component
-    diameter — near-dup clusters are tiny (pairs of template-mutated docs),
-    so this converges in 1-3 rounds here; at 10^9 docs you would switch to
-    the large-star/small-star contraction (same join primitive, O(log n)
-    rounds). The DuckDB oracle computes the same fixpoint as a recursive
-    transitive closure + min."""
+    per iteration with localCheckpoint. The loop runs over the
+    EDGE-INDUCED subgraph only — a doc with no near-dup pair can never
+    change label, so the corpus-sized table enters exactly once (the final
+    singleton union), not once per round; on a mostly-unique corpus the
+    per-round join is orders of magnitude smaller than the doc count.
+    Iteration count is the component diameter — near-dup clusters are tiny
+    (pairs of template-mutated docs), so this converges in 1-3 rounds
+    here; at 10^9 docs you would switch to the large-star/small-star
+    contraction (same join primitive, O(log n) rounds). The DuckDB oracle
+    computes the same fixpoint as a recursive transitive closure + min."""
     pairs = q_dedup_jaccard(spark, sf).select("doc_a", "doc_b")
     docs = _docs(spark, sf).select("doc_id")
     edges = (
@@ -221,7 +225,11 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         .withColumnRenamed("doc_b", "dst")
         .localCheckpoint()
     )
-    labels = docs.withColumn("cluster_id", F.col("doc_id")).localCheckpoint()
+    edge_nodes = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .localCheckpoint()
+    )
+    labels = edge_nodes.withColumn("cluster_id", F.col("doc_id"))
     while True:
         prop = (
             edges.join(
@@ -253,7 +261,12 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         labels = step.select("doc_id", "cluster_id")
         if changed == 0:
             break
-    return labels.withColumn(
+    # docs untouched by any near-dup edge are their own keepers — the
+    # single corpus-sized pass (anti join), outside the iteration
+    singletons = docs.join(edge_nodes, "doc_id", "left_anti").withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return labels.unionByName(singletons).withColumn(
         "is_keeper", (F.col("doc_id") == F.col("cluster_id")).cast("int")
     )
 
