@@ -365,3 +365,31 @@ def test_snapshot_ids_unique_after_expire(spark, tmp_path):
     ids = [s["snapshot_id"] for s in snaps]
     assert ids == [2, 3]
     assert snaps[-1]["parent_id"] == 2
+
+
+def test_session_twins_agree(spark):
+    """Three sessionization implementations, one semantics: the
+    oracle-checked q_events_sessions must produce the same per-user
+    session partition as sessionize_batch (which the STREAMING
+    applyInPandasWithState operator is itself tested against) — closing
+    the chain streaming == batch-window == DuckDB oracle."""
+    from clinicaltransformerrelationextraction_spark.operators.relational import (
+        q_events_sessions,
+    )
+    from clinicaltransformerrelationextraction_spark.streaming.sessionize import (
+        sessionize_batch,
+    )
+
+    ev = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    a = sessionize_batch(ev).select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("s"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("e"),
+        "n_events",
+    )
+    b = q_events_sessions(spark, SF_SMOKE).select(
+        "user_id", F.col("start_us").alias("s"), F.col("end_us").alias("e"),
+        "n_events",
+    )
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
