@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_rollup": relational.q_events_rollup,
         "q_events_sessions": relational.q_events_sessions,
         "q_corpus_clean": textstats.q_corpus_clean,
+        "q_tpch_q10": relational.q_tpch_q10,
         **_EVAL_QUERIES,
         **_TRAIN_QUERIES,
         **_REL_QUERIES,
@@ -330,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_rollup": oracle_relational.q_events_rollup(),
         "q_events_sessions": oracle_relational.q_events_sessions(),
         "q_corpus_clean": oracle_training.q_corpus_clean(),
+        "q_tpch_q10": oracle_relational.q_tpch_q10(),
         **_EVAL_SQL,
         **_TRAIN_SQL,
         **_REL_SQL,

@@ -508,3 +508,31 @@ def q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
         F.max("ev_us").alias("end_us"),
         (F.max("ev_us") - F.min("ev_us")).alias("duration_us"),
     )
+
+
+def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item revenue per customer: selective
+    date + returnflag filters pushed to both scans, customer⋈orders⋈
+    lineitem with the 25-row nation dim broadcast, exact-decimal revenue,
+    top-20 via orderBy+limit (TakeOrderedAndProject: per-partition heads,
+    no single-partition sort)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1993-10-01"))
+        & (F.col("o_orderdate") < F.lit("1994-01-01"))
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf, "nation")
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("decimal(30,4)")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

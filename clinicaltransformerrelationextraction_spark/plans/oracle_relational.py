@@ -315,3 +315,22 @@ SELECT user_id, session_n::BIGINT AS session_n,
   (max(ev_us) - min(ev_us))::BIGINT AS duration_us
 FROM sessions GROUP BY user_id, session_n
 """
+
+
+def q_tpch_q10() -> str:
+    return """
+SELECT c_custkey, c_name, n_name,
+  sum((l_extendedprice::DECIMAL(18,2)
+       * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(30,4)
+     )::DOUBLE AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1993-10-01'
+  AND o_orderdate < TIMESTAMP '1994-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
