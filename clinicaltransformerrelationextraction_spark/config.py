@@ -35,10 +35,15 @@ NON_REL = "NonRel"
 # --- entity gazetteer: surface token -> entity type --------------------------
 # Deterministic stand-in for the gold brat ``T`` annotations of the reference.
 # Tokens are drawn from the synthetic corpus vocabulary (TESTDATA.md).
+# Enlarged in round 4 ("table" -> Drug, "key" -> ADE) so the canonical
+# entity graph has 12 nodes / 3 drug hubs instead of 10/2 — richer degree/
+# PageRank/component structure at a measured +67% candidate volume.
 ENT_VOCAB: dict[str, str] = {
     "spark": "Drug",
     "hash": "Drug",
+    "table": "Drug",
     "join": "ADE",
+    "key": "ADE",
     "merge": "Reason",
     "sort": "Frequency",
     "scan": "Dosage",

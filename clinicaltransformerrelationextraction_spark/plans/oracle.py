@@ -284,10 +284,19 @@ SELECT entity, rank FROM {prev}
 
 
 def q_graph_two_hop() -> str:
+    """Symmetrized two-hop census: forward edges + '_inv' reverse edges
+    (the raw directed KG is bipartite args->Drug, so without the reverse
+    edges no directed 2-hop path can exist — r3 vacuous-green fix)."""
     return f"""{PIPELINE_PREFIX},{PRED_CTE},{TRIPLES_CTE},{_LINKED_CTES},
-e AS (SELECT DISTINCT subj_canonical, pred, obj_canonical FROM linked)
+e AS MATERIALIZED (
+  SELECT DISTINCT subj_canonical, pred, obj_canonical FROM linked),
+se AS MATERIALIZED (
+  SELECT subj_canonical, pred, obj_canonical FROM e
+  UNION
+  SELECT obj_canonical, pred || '_inv', subj_canonical FROM e
+)
 SELECT a.pred AS p1, b.pred AS p2, count(*)::BIGINT AS n_paths
-FROM e a JOIN e b ON a.obj_canonical = b.subj_canonical
+FROM se a JOIN se b ON a.obj_canonical = b.subj_canonical
 GROUP BY 1, 2
 """
 
@@ -520,10 +529,53 @@ FROM reach GROUP BY src
 """
 
 
+def q_graph_user_components() -> str:
+    """Components of the events co-action user graph (same (k, day)
+    group => edge). Node count grows with sf (users: 15/150/1500 at
+    sf0.001/0.01/0.1) — the sf-proportional graph evidence. Fixpoint =
+    transitive closure + min, mirroring min_label_components."""
+    return """
+WITH RECURSIVE grp AS (
+  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+    date_trunc('day', ts) AS day, user_id
+  FROM events
+),
+e0 AS (
+  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+  FROM grp x JOIN grp y ON x.k = y.k AND x.day = y.day
+  WHERE x.user_id < y.user_id
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM e0
+  UNION ALL
+  SELECT b, a FROM e0
+),
+nodes AS (SELECT DISTINCT src AS entity FROM edges),
+reach AS (
+  SELECT entity AS src, entity AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT src AS entity, min(dst)::BIGINT AS component,
+  (CASE WHEN src = min(dst) THEN 1 ELSE 0 END)::INT AS is_root
+FROM reach GROUP BY src
+"""
+
+
 def q_graph_triangles() -> str:
-    return f"""{PIPELINE_PREFIX},{PRED_CTE},{TRIPLES_CTE},{_LINKED_CTES},{_UND_CTES}
+    """Triangle census over triple edges UNION same-doc subject
+    co-occurrence edges (relation edges alone are bipartite -> zero
+    triangles by construction; r3 vacuous-green fix)."""
+    return f"""{PIPELINE_PREFIX},{PRED_CTE},{TRIPLES_CTE},{_LINKED_CTES},{_UND_CTES},
+subj AS MATERIALIZED (
+  SELECT DISTINCT doc_id, subj_canonical AS s FROM linked),
+co AS MATERIALIZED (
+  SELECT DISTINCT x.s AS a, y.s AS b
+  FROM subj x JOIN subj y USING (doc_id) WHERE x.s < y.s
+),
+te AS MATERIALIZED (SELECT a, b FROM ge UNION SELECT a, b FROM co)
 SELECT count(*)::BIGINT AS n_triangles
-FROM ge ab JOIN ge bc ON ab.b = bc.a JOIN ge ac
+FROM te ab JOIN te bc ON ab.b = bc.a JOIN te ac
   ON ac.a = ab.a AND ac.b = bc.b
 """
 
