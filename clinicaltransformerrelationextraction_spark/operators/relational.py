@@ -121,9 +121,16 @@ def q_fold_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
-    """F5/E3 — anti join (gold-pair exclusion pattern)."""
+    """F5/E3 — anti join (gold-pair exclusion pattern): customers with no
+    URGENT-priority order. The unfiltered variant ("no orders at all") is
+    EMPTY on this synthetic data at every sf ≤ 0.01 — a vacuous green the
+    r4 nonzero parity guard caught; the priority filter keeps the plan
+    shape (filter pushed into the anti-join build side) while selecting
+    real rows (18 at sf0.001, 203 at sf0.01)."""
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -383,12 +390,15 @@ def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q6 shape — the pure scan-filter-aggregate query: every
     predicate pushes down to the parquet scan (no shuffle at all before
     the single-row partial agg), the canonical 'filters reach the reader'
-    check. Revenue in exact decimal, ONE double conversion at the end."""
+    check. Revenue in exact decimal, ONE double conversion at the end.
+    Date window sits inside the synthetic data range (shipdates span
+    1995-01..2001-11) so the aggregate covers real rows — the r3 verdict
+    flagged the classic 1994 window as a 0-row no-op on this corpus."""
     li = _t(spark, sf, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -400,6 +410,42 @@ def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("double").alias("revenue"),
             F.count("*").alias("n_rows"),
         )
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: HAVING-filtered
+    aggregation over the fact table first (map-side partial combine, one
+    shuffle on l_orderkey), THEN joins — the selective agg shrinks the
+    probe side to the handful of big orders before any join happens, so
+    orders/customer join against a tiny table (AQE picks broadcast at
+    runtime from the post-agg stats; never pre-broadcast — the qualifying
+    set grows with the corpus). Exact-decimal quantity sum; order date as
+    epoch micros (cross-engine integer compare); top-100 with a full
+    deterministic tiebreak (totalprice desc, date, orderkey) so the LIMIT
+    boundary is engine-independent."""
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty_dec")
+        )
+        .filter(F.col("sum_qty_dec") > 300)
+    )
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            .alias("o_date_us"),
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_date_us", "o_orderkey")
+        .limit(100)
     )
 
 
@@ -515,11 +561,12 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     date + returnflag filters pushed to both scans, customer⋈orders⋈
     lineitem with the 25-row nation dim broadcast, exact-decimal revenue,
     top-20 via orderBy+limit (TakeOrderedAndProject: per-partition heads,
-    no single-partition sort)."""
+    no single-partition sort). Date window sits inside the synthetic data
+    range (orders span 1995-01..2001-08) so the joins touch real rows."""
     cust = _t(spark, sf, "customer")
     orders = _t(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1993-10-01"))
-        & (F.col("o_orderdate") < F.lit("1994-01-01"))
+        (F.col("o_orderdate") >= F.lit("1995-10-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
     )
     li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = _t(spark, sf, "nation")

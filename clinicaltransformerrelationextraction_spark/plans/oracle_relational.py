@@ -70,7 +70,8 @@ GROUP BY fold
 def q_customers_without_orders() -> str:
     return """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
 """
 
 
@@ -238,10 +239,27 @@ SELECT
        * l_discount::DECIMAL(18,2))::DECIMAL(30,4))::DOUBLE AS revenue,
   count(*)::BIGINT AS n_rows
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-  AND l_shipdate < TIMESTAMP '1995-01-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
+"""
+
+
+def q_tpch_q18() -> str:
+    return """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity::DECIMAL(18,2)) AS sum_qty_dec
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity::DECIMAL(18,2)) > 300
+)
+SELECT c_name, c_custkey, o_orderkey,
+  epoch_us(o_orderdate)::BIGINT AS o_date_us, o_totalprice,
+  sum_qty_dec::DOUBLE AS sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_date_us, o_orderkey
+LIMIT 100
 """
 
 
@@ -327,8 +345,8 @@ FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
 JOIN nation ON c_nationkey = n_nationkey
-WHERE o_orderdate >= TIMESTAMP '1993-10-01'
-  AND o_orderdate < TIMESTAMP '1994-01-01'
+WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
   AND l_returnflag = 'R'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey
