@@ -44,7 +44,7 @@ def canon(rows, colnames) -> list[str]:
     )
 
 
-def compare(spark_df, con, sql: str, name: str = "q") -> None:
+def compare(spark_df, con, sql: str, name: str = "q") -> int:
     srows = spark_df.collect()
     scols = spark_df.columns
     rel = con.sql(sql)
@@ -64,3 +64,4 @@ def compare(spark_df, con, sql: str, name: str = "q") -> None:
         raise AssertionError(
             f"{name}: value mismatch.\n spark-only: {diff_s}\n duck-only: {diff_d}"
         )
+    return len(srows)

@@ -1,0 +1,126 @@
+"""Non-vacuousness guards for the queries the r3 verdict flagged as
+green-on-empty: a parity hash match on an empty/zero result proves
+nothing about the operator's logic, so these tests pin that each query
+demonstrably touches data at the smoke scale.
+
+- q_tpch_q6 / q_tpch_q10: date windows must select real rows (the old
+  1993/1994 TPC-H windows predate the synthetic data, which spans
+  1995-01..2001-08).
+- q_graph_two_hop: the raw directed KG is bipartite args->Drug, so the
+  symmetrized ('_inv') edge set is what makes 2-hop paths possible.
+- q_graph_triangles: relation edges alone can never close a triangle on
+  a bipartite graph; the same-doc subject co-occurrence edges do.
+- q_graph_user_components: the events co-action graph must have nodes
+  and more than zero edges (node count grows with sf: 15/150/1500).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_tpch_q6_touches_rows(spark):
+    from clinicaltransformerrelationextraction_spark.operators.relational import (
+        q_tpch_q6,
+    )
+
+    row = q_tpch_q6(spark, SF_SMOKE).first()
+    assert row.n_rows > 0
+    assert row.revenue > 0.0
+
+
+def test_tpch_q10_touches_rows(spark):
+    from clinicaltransformerrelationextraction_spark.operators.relational import (
+        q_tpch_q10,
+    )
+
+    rows = q_tpch_q10(spark, SF_SMOKE).collect()
+    assert len(rows) == 20  # full top-k, not a truncated empty set
+    assert all(r.revenue > 0.0 for r in rows)
+    # descending revenue with c_custkey tiebreak — the top-k actually ranked
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_graph_two_hop_has_paths(spark):
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        q_graph_two_hop,
+    )
+
+    df = q_graph_two_hop(spark, SF_SMOKE)
+    total = df.agg(F.sum("n_paths").alias("s")).first().s
+    assert total and total > 0
+    # both directions must participate: some path uses an inverse edge
+    inv = df.filter(
+        F.col("p1").endswith("_inv") | F.col("p2").endswith("_inv")
+    ).count()
+    assert inv > 0
+
+
+def test_graph_triangles_nonzero(spark):
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        q_graph_triangles,
+    )
+
+    assert q_graph_triangles(spark, SF_SMOKE).first().n_triangles > 0
+
+
+def test_graph_user_components_nonempty(spark):
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        q_graph_user_components,
+    )
+
+    rows = q_graph_user_components(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    n_roots = sum(r.is_root for r in rows)
+    assert 1 <= n_roots <= len(rows)
+    # every member's component label is a real node that is a root
+    roots = {r.entity for r in rows if r.is_root}
+    assert all(r.component in roots for r in rows)
+
+
+def _star_equals_minlabel(spark, und):
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        min_label_components,
+        star_components,
+    )
+
+    a = sorted(
+        (r.entity, r.component, r.is_root)
+        for r in min_label_components(und).collect()
+    )
+    b = sorted(
+        (r.entity, r.component, r.is_root)
+        for r in star_components(und).collect()
+    )
+    assert a == b
+    assert a  # nonvacuous
+
+
+def test_star_components_match_minlabel_synthetic(spark):
+    """Large-star/small-star contraction == min-label propagation on
+    adversarial shapes: a long path (worst diameter for propagation), a
+    star hub, a complete clump, singleton edges, and a seeded random
+    graph."""
+    import random
+
+    edges = []
+    edges += [(i, i + 1) for i in range(100, 140)]        # 41-node path
+    edges += [(500, v) for v in range(501, 540)]          # star hub
+    edges += [(a, b) for a in range(900, 910)
+              for b in range(a + 1, 910)]                 # complete K10
+    edges += [(2000, 2001), (3000, 3001)]                 # tiny islands
+    rng = random.Random(42)
+    nodes = list(range(5000, 5200))
+    edges += [tuple(sorted(rng.sample(nodes, 2))) for _ in range(150)]
+    und = spark.createDataFrame(edges, "a long, b long").distinct()
+    _star_equals_minlabel(spark, und)
+
+
+def test_star_components_match_minlabel_real(spark):
+    from clinicaltransformerrelationextraction_spark.operators import graph
+
+    und = graph._undirected(spark, SF_SMOKE)
+    _star_equals_minlabel(spark, und)

@@ -12,12 +12,23 @@ from tests.parity import compare
 
 QUERIES = sorted(entrymod.oracle_sql().keys())
 
+# Queries allowed to return 0 rows at sf0.001 — everything else failing
+# the nonzero guard is a vacuous green (the r3 verdict's finding: four
+# driver rows "passed" on empty results and proved nothing). Keep this
+# list EMPTY unless a query has a documented reason to be empty at the
+# smoke scale.
+ZERO_ROWS_OK: set[str] = set()
+
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_query_parity(spark, duck, name):
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql()[name]
-    compare(q(spark, SF_SMOKE), duck, sql, name)
+    n = compare(q(spark, SF_SMOKE), duck, sql, name)
+    assert n > 0 or name in ZERO_ROWS_OK, (
+        f"{name}: 0 rows at {SF_SMOKE} — vacuous parity; fix the query "
+        f"window/predicates or whitelist with a documented reason"
+    )
 
 
 def test_all_queries_have_callables():
