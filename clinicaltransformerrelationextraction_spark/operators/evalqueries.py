@@ -278,6 +278,61 @@ def q_loss_weighted(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+FOCAL_GAMMA = 2  # reference default (src/model_utils.py:137 gamma=2.)
+
+
+def _focal_units(n_labels: int) -> tuple[int, int]:
+    """Focal-loss per-example values as integer micro-units. The stub's
+    one-hot logits give the gold class probability p_match = e/denom when
+    gold == argmax and p_miss = 1/denom otherwise (denom = e + n - 1), so
+    FocalLoss (src/model_utils.py:135-150: (1-p)^gamma * NLL) collapses
+    to exactly two constants, inlined identically in both engines."""
+    import math
+
+    denom = math.e + (n_labels - 1)
+    p_match = math.e / denom
+    p_miss = 1.0 / denom
+    f_match = round(
+        ((1 - p_match) ** FOCAL_GAMMA) * (math.log(denom) - 1.0) * LOSS_UNIT
+    )
+    f_miss = round(((1 - p_miss) ** FOCAL_GAMMA) * math.log(denom) * LOSS_UNIT)
+    return f_match, f_miss
+
+
+def q_loss_focal(spark: SparkSession, sf: str) -> DataFrame:
+    """Focal-loss analog of the reference's FocalLoss module
+    (src/model_utils.py:135-150): per-class focal mass
+    focal_u = n_match*F_MATCH_U + n_miss*F_MISS_U (gamma=2, the (1-p)^2
+    modulation applied to the two one-hot CE constants), its
+    class-weighted twin wfocal_u = w_u * focal_u (same balanced
+    inverse-frequency w_u as q_loss_weighted — the module's optional
+    ``weight=``), and the mean-reduction numerator. All bigint — exact
+    cross-engine."""
+    from ..config import LABELS
+
+    f_match, f_miss = _focal_units(len(LABELS))
+    counts = _loss_counts(spark, sf)
+    totals = counts.agg(F.sum("n_gold").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "label", "n_gold", "n_match",
+            (F.col("n_gold") - F.col("n_match")).alias("n_miss"),
+            F.expr(
+                f"(total * {LOSS_UNIT}) div ({len(LABELS)} * n_gold)"
+            ).alias("w_u"),
+        )
+        .select(
+            "label", "n_gold", "n_match", "n_miss", "w_u",
+            (
+                F.col("n_match") * F.lit(f_match)
+                + F.col("n_miss") * F.lit(f_miss)
+            ).alias("focal_u"),
+        )
+        .withColumn("wfocal_u", F.col("w_u") * F.col("focal_u"))
+    )
+
+
 def q_loss_mean(spark: SparkSession, sf: str) -> DataFrame:
     """A7 analog — mean weighted eval loss (src/task.py:343
     ``eval_loss / n``) over all candidates, exact: sum the per-class

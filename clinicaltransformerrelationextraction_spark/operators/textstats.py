@@ -141,6 +141,87 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- HyperLogLog sketch constants (shared with the DuckDB oracle) -----------
+HLL_P = 6                   # bucket bits -> m = 64 registers
+HLL_M = 1 << HLL_P
+HLL_WBITS = 48 - HLL_P      # value bits of the 48-bit md5-prefix hash
+HLL_MAXR = HLL_WBITS + 1    # rho range: 1..43 (43 = all-zero value bits)
+
+
+def _hll_alpha_m2_u() -> int:
+    """alpha_m * m^2 as an integer micro-unit literal (standard HLL bias
+    constant alpha_64 = 0.7213/(1 + 1.079/m)); inlined identically in
+    both engines so the estimate is one deterministic double expression."""
+    alpha = 0.7213 / (1 + 1.079 / HLL_M)
+    return round(alpha * HLL_M * HLL_M * 1_000_000)
+
+
+# single pre-rounded double literal shared by both engines: the whole
+# estimator numerator alpha*m^2*2^MAXR (the only float in the sketch)
+HLL_EST_NUM = float(_hll_alpha_m2_u() * (1 << HLL_MAXR))
+
+
+def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch per language over bigram
+    shingles — the fixed-memory (m registers) alternative to KMV: unlike
+    KMV's K-min set, HLL registers are a constant 64 bytes per group and
+    merge by element-wise max, which is why it's the sketch of choice for
+    10^12-scale cardinality. Register derivation is exact integer
+    arithmetic both engines share: h = 48-bit md5 prefix, bucket = top 6
+    bits, rho = leading zeros of the 42 value bits + 1 (via binary-string
+    length — no float log2), M_j = max rho per bucket (a map-side
+    combinable max-aggregate). The estimate alpha*m^2/sum(2^-M_j) is
+    restated exactly: S_int = sum(2^(43-M_j)) + 2^43 per empty bucket
+    (all bigint), then ONE fixed-shape double expression. No small/large
+    range corrections (documented simplification — the raw estimator);
+    the exact count rides along to pin accuracy, KMV-style."""
+    d = _docs(spark, sf)
+    toks = F.split("text", " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = d.select("lang", F.explode(bigrams).alias("shingle")).distinct()
+    h = bg.select(
+        "lang",
+        F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10)
+        .cast("long").alias("h"),
+    )
+    w = F.col("h") % F.lit(1 << HLL_WBITS)
+    reg = h.select(
+        "lang",
+        F.expr(f"h div {1 << HLL_WBITS}").alias("bucket"),
+        F.when(w == 0, F.lit(HLL_MAXR)).otherwise(
+            F.lit(HLL_MAXR) - F.length(F.bin(w))
+        ).alias("rho"),
+    )
+    m = reg.groupBy("lang", "bucket").agg(F.max("rho").alias("mj"))
+    sk = m.groupBy("lang").agg(
+        F.count("*").alias("n_buckets_hit"),
+        F.sum(F.expr(f"shiftleft(1L, {HLL_MAXR} - mj)")).alias("s_hit"),
+    ).select(
+        "lang", "n_buckets_hit",
+        (
+            F.col("s_hit")
+            + (F.lit(HLL_M) - F.col("n_buckets_hit"))
+            * F.lit(1 << HLL_MAXR)
+        ).alias("s_int"),
+    )
+    exact = bg.groupBy("lang").agg(F.count("*").alias("n_exact"))
+    est = F.lit(HLL_EST_NUM) / (
+        F.lit(1_000_000.0) * F.col("s_int").cast("double")
+    )
+    return sk.join(exact, "lang").select(
+        "lang", "n_buckets_hit", "s_int", "n_exact",
+        est.alias("est_distinct"),
+    )
+
+
 CLEAN_MIN_DISTINCT_RATIO = 0.3
 CLEAN_MIN_TOKENS = 5
 

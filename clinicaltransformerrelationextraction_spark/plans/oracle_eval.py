@@ -206,6 +206,23 @@ SELECT label, n_gold, n_match, n_miss, w_u, loss_u FROM loss
 """
 
 
+def q_loss_focal() -> str:
+    from ..config import LABELS
+    from ..operators.evalqueries import LOSS_UNIT, _focal_units, _loss_units
+
+    l_match, l_miss = _loss_units(len(LABELS))
+    f_match, f_miss = _focal_units(len(LABELS))
+    prefix = _loss_counts_sql().format(
+        unit=LOSS_UNIT, nlab=len(LABELS), l_match=l_match, l_miss=l_miss
+    )
+    return f"""{prefix}
+SELECT label, n_gold, n_match, n_miss, w_u,
+  (n_match * {f_match} + n_miss * {f_miss})::BIGINT AS focal_u,
+  (w_u * (n_match * {f_match} + n_miss * {f_miss}))::BIGINT AS wfocal_u
+FROM loss
+"""
+
+
 def q_loss_mean() -> str:
     from ..config import LABELS
     from ..operators.evalqueries import LOSS_UNIT, _loss_units

@@ -504,6 +504,58 @@ FROM bytes GROUP BY doc_id
 """
 
 
+def q_hll_distinct() -> str:
+    """HyperLogLog sketch oracle (operators/textstats.py q_hll_distinct):
+    registers from exact integer arithmetic (48-bit md5-prefix hash, top
+    6 bits bucket, rho via binary-string length — no float log2), the
+    estimate one fixed-shape double division of a shared pre-rounded
+    numerator literal."""
+    from ..operators.textstats import (
+        HLL_EST_NUM,
+        HLL_M,
+        HLL_MAXR,
+        HLL_WBITS,
+    )
+
+    hex12 = " + ".join(
+        f"(strpos('0123456789abcdef', substring(hx, {i + 1}, 1)) - 1)"
+        f" * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    return f"""
+WITH tl AS (SELECT lang, string_split(text, ' ') AS tl FROM documents),
+bg AS (
+  SELECT DISTINCT lang, tl[i] || ' ' || tl[i+1] AS shingle
+  FROM tl, UNNEST(range(1, len(tl))) r(i)
+  WHERE len(tl) >= 2
+),
+h AS (
+  SELECT lang, ({hex12})::BIGINT AS h
+  FROM (SELECT lang, md5(shingle) AS hx FROM bg)
+),
+reg AS (
+  SELECT lang, h // {1 << HLL_WBITS} AS bucket,
+    CASE WHEN h % {1 << HLL_WBITS} = 0 THEN {HLL_MAXR}
+         ELSE {HLL_MAXR} - length(printf('%b', h % {1 << HLL_WBITS}))
+    END AS rho
+  FROM h
+),
+m AS (
+  SELECT lang, bucket, max(rho) AS mj FROM reg GROUP BY lang, bucket
+),
+sk AS (
+  SELECT lang, count(*)::BIGINT AS n_buckets_hit,
+    (sum((1::BIGINT << ({HLL_MAXR} - mj))::BIGINT)
+     + ({HLL_M} - count(*)) * {1 << HLL_MAXR})::BIGINT AS s_int
+  FROM m GROUP BY lang
+),
+ex AS (SELECT lang, count(*)::BIGINT AS n_exact FROM bg GROUP BY lang)
+SELECT s.lang, s.n_buckets_hit, s.s_int, e.n_exact,
+  {HLL_EST_NUM!r} / (1000000.0 * s.s_int::DOUBLE) AS est_distinct
+FROM sk s JOIN ex e USING (lang)
+"""
+
+
 def q_kmv_distinct() -> str:
     """KMV distinct-count sketch oracle (operators/textstats.py): hashes
     are the first 12 hex chars of md5 (unrolled digit arithmetic, exact
