@@ -41,9 +41,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--config-json", default=None,
                    help="JSON file of PipelineConfig overrides "
                         "(relation_extraction_json.py analog)")
+    # no choices= constraint: any name registered via register_scorer()
+    # is selectable from the CLI (the documented extension contract —
+    # README "Custom scorer backends"); an unknown name fails later with
+    # _resolve_factory's descriptive error listing what IS registered
     p.add_argument("--scorer", default="stub",
-                   choices=["stub", "mlp", "hf"],
-                   help="scoring backend (hf requires transformers)")
+                   help="scoring backend: stub | mlp | hf, or any "
+                        "register_scorer() name (hf requires transformers)")
     p.add_argument("--max-seq-length", type=int, default=512,
                    help="token budget incl. special tokens")
     p.add_argument("--data-format-mode", type=int, default=0,

@@ -103,3 +103,39 @@ def test_cli_featurize_training_handoff(spark, tmp_path):
     with open(out + "/labels.json") as f:
         lab = _json.load(f)
     assert lab == {l: i for i, l in enumerate(LABELS)}
+
+
+def test_cli_custom_scorer_name_accepted(spark, tmp_path):
+    """--scorer takes ANY register_scorer() name (the documented CLI
+    extension contract — argparse must not pre-restrict choices), and an
+    unknown name fails with the registry's descriptive error, not an
+    argparse exit."""
+    import pytest
+
+    from clinicaltransformerrelationextraction_spark.operators.scoring import (
+        SCORER_REGISTRY,
+        register_scorer,
+    )
+
+    register_scorer(
+        "mine", lambda cfg, labels: SCORER_REGISTRY["stub"](cfg, labels)
+    )
+
+    try:
+        inp, docs = _input(spark, tmp_path, n=40)
+        out = str(tmp_path / "runc")
+        res = main(
+            ["predict", "--input", inp, "--output", out, "--scorer", "mine"],
+            spark=spark,
+        )
+        assert res["n_triples"] == run_pipeline(
+            docs, PipelineConfig()
+        ).triples.count()
+        with pytest.raises(ValueError, match="unknown scorer 'nope'"):
+            main(
+                ["predict", "--input", inp, "--output",
+                 str(tmp_path / "runx"), "--scorer", "nope"],
+                spark=spark,
+            )
+    finally:
+        SCORER_REGISTRY.pop("mine", None)
