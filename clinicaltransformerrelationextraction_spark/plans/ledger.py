@@ -112,8 +112,11 @@ def _read_text(path: str) -> str | None:
 
 
 def _write_text(path: str, text: str) -> None:
-    """Atomically replace a small metadata file (write tmp + rename),
-    Hadoop-FS-routed for scheme-qualified paths."""
+    """Atomically replace a small metadata file (write tmp + rename-over),
+    Hadoop-FS-routed for scheme-qualified paths. Rename OVERWRITES the
+    destination in one FS call (FileContext Rename.OVERWRITE — the HDFS
+    analog of ``os.replace``): a reader never observes the gap that
+    delete-then-rename would open (empty ledger => empty table)."""
     if not _has_scheme(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
@@ -129,13 +132,34 @@ def _write_text(path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(hp):
-        fs.delete(hp, False)
-    fs.rename(htmp, hp)
+    jvm = spark._jvm
+    gateway = spark.sparkContext._gateway
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri(), spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    opts = gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(htmp, hp, opts)
 
 
 @dataclass
 class LedgerRun:
+    """Checkpointed, resumable pipeline run over hash buckets.
+
+    CONCURRENCY CONTRACT — single writer per ``out_dir``: ledger and
+    snapshot commits are read-modify-write without a coordination
+    service, so exactly one driver may run()/resume()/expire_snapshots()
+    against an out_dir at a time (the same assumption the reference's
+    batch_* directory scheme makes, and what Iceberg solves with an
+    external catalog's atomic swap). Concurrent writers can lose ledger
+    rows or duplicate snapshot versions. READERS are safe at any time:
+    data dirs are immutable once written (data/b{b}_v{v}), metadata
+    files are replaced via rename (atomic on posix/HDFS; on eventually-
+    consistent object stores pair this with a catalog that provides the
+    swap), and a reader holding yesterday's snapshot keeps resolving the
+    exact data dirs that snapshot pins until expire_snapshots() GCs
+    them."""
+
     out_dir: str
     n_buckets: int = 8
     salt: bool = False  # salted repartition before scoring (hot domains)
