@@ -17,6 +17,8 @@ from tests.conftest import SF_SMOKE
 
 import re
 
+from pyspark.sql import functions as F
+
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().explainString(
@@ -140,3 +142,50 @@ def test_kmv_sketch_keeps_partial_window_group_limit(spark):
 
     plan = _plan(q_kmv_distinct(spark, SF_SMOKE))
     assert _nodes(plan).count("WindowGroupLimit") == 2
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Bucketed-table co-located join — the 100 TB pattern for a join you
+    run repeatedly on the same key (e.g. the triples table joined to an
+    entity dimension by canonical id): both sides written bucketBy(8, key)
+    + sortBy(key), so the SortMergeJoin consumes the on-disk bucketing and
+    the plan has ZERO Exchange nodes — the shuffle was paid ONCE at write
+    time, not per query. The same query over plain parquet must show
+    Exchanges (the control, so this test can't pass vacuously)."""
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktdemo")
+    try:
+        (orders.write.format("parquet")
+         .bucketBy(8, "o_custkey").sortBy("o_custkey")
+         .option("path", str(tmp_path / "orders_b"))
+         .mode("overwrite").saveAsTable("bktdemo.orders_b"))
+        (cust.write.format("parquet")
+         .bucketBy(8, "c_custkey").sortBy("c_custkey")
+         .option("path", str(tmp_path / "cust_b"))
+         .mode("overwrite").saveAsTable("bktdemo.cust_b"))
+        with_buckets = spark.sql("""
+            SELECT /*+ MERGE(o) */ c.c_custkey, count(*) AS n,
+                   sum(o.o_totalprice) AS total
+            FROM bktdemo.cust_b c JOIN bktdemo.orders_b o
+              ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        """)
+        plain = (
+            cust.hint("merge")
+            .join(orders, cust.c_custkey == orders.o_custkey)
+            .groupBy("c_custkey")
+            .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+        )
+        nodes_b = _nodes(_plan(with_buckets))
+        nodes_p = _nodes(_plan(plain))
+        assert "Exchange" not in nodes_b, nodes_b
+        assert "Exchange" in nodes_p  # control: shuffle without bucketing
+        # same result either way (order-insensitive)
+        rb = sorted(map(tuple, with_buckets.collect()))
+        rp = sorted(map(tuple, plain.collect()))
+        assert rb == rp and len(rb) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bktdemo.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bktdemo.cust_b")
+        spark.sql("DROP DATABASE IF EXISTS bktdemo")
