@@ -298,7 +298,8 @@ _WINDOW: list[str] = [
     # de-vacuated / re-planned / new this round
     "q_tpch_q6", "q_tpch_q10", "q_validate_rels", "q_loss_focal",
     "q_tpch_q18", "q_hll_distinct",
-    # round-2 tail rotation (26 entries; q_validate_rels already above)
+    # round-2 tail rotation (24 entries: the 27-query r2 tail minus
+    # q_validate_rels, pinned above, and the two slot-yields noted below)
     "q_seeded_sample", "q_simhash", "q_simhash_band_pairs",
     "q_simhash_hamming_hist", "q_token_stats", "q_big_spenders",
     "q_custkey_setops", "q_customers_with_building_orders",

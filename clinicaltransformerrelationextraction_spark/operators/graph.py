@@ -321,7 +321,9 @@ def q_graph_user_components(spark: SparkSession, sf: str) -> DataFrame:
     time-bounded, so group size is bounded by daily activity per key —
     never a corpus cross join), then the same min-label propagation
     primitive as the entity components."""
-    ev = _events(spark, sf)
+    from .relational import _t
+
+    ev = _t(spark, sf, "events")
     grp = ev.select(
         F.get_json_object("props", "$.k").cast("long").alias("k"),
         F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
@@ -337,10 +339,6 @@ def q_graph_user_components(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return min_label_components(und)
-
-
-def _events(spark: SparkSession, sf: str) -> DataFrame:
-    return spark.read.parquet(f"{sf}/events.parquet")
 
 
 def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:

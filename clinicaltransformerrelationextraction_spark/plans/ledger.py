@@ -134,12 +134,21 @@ def _write_text(path: str, text: str) -> None:
         out.close()
     jvm = spark._jvm
     gateway = spark.sparkContext._gateway
-    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.getUri(), spark.sparkContext._jsc.hadoopConfiguration()
-    )
-    opts = gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
-    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-    fc.rename(htmp, hp, opts)
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        opts = gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(htmp, hp, opts)
+    except Exception:
+        # FileContext needs an AbstractFileSystem binding
+        # (fs.AbstractFileSystem.<scheme>.impl); connectors that register
+        # only a FileSystem impl fall back to the pre-existing two-call
+        # replace — non-atomic (a reader can hit the gap), but functional
+        if fs.exists(hp):
+            fs.delete(hp, False)
+        fs.rename(htmp, hp)
 
 
 @dataclass

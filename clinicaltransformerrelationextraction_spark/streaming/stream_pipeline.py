@@ -93,3 +93,41 @@ def stream_event_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup_pages(
+    spark: SparkSession,
+    pages_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    watermark: str = "1 hour",
+) -> None:
+    """Streaming exact dedup of a pages feed — the ingest-time twin of the
+    batch keeper selection (operators/dedup.q_dedup_exact /
+    textstats.q_corpus_clean): content-hash the text, keep the FIRST
+    arrival per hash, drop later duplicates. State is BOUNDED by the
+    event-time watermark (``dropDuplicatesWithinWatermark``): a hash whose
+    watermark has passed is evicted from the state store, which is what
+    makes this runnable forever on a 10^12-page crawl feed — an unbounded
+    ``dropDuplicates`` would accumulate one state row per distinct page
+    in history. Late re-crawls inside the watermark dedup exactly;
+    re-crawls arriving later than the watermark re-emit (the standard
+    streaming-dedup contract — downstream batch compaction
+    (q_dedup_exact) remains the global guarantee)."""
+    schema = spark.read.parquet(pages_dir).schema
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+    # parquet stores TIMESTAMP_NTZ; watermarks need instant-typed TIMESTAMP
+    stream = stream.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    deduped = (
+        stream.withColumn("text_hash", F.md5("text"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

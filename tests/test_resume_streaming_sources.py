@@ -261,3 +261,42 @@ def test_checkpoint_retention(tmp_path):
     assert latest_checkpoint(root).endswith("ckpt_10")
     assert prune_checkpoints(root, max_num=5) == []
     assert latest_checkpoint(str(tmp_path / "nope")) is None
+
+
+def test_streaming_dedup_matches_batch_exact_dedup(spark, tmp_path):
+    """Streaming content-hash dedup (watermark-bounded state) keeps
+    exactly one page per distinct text, and the kept hash set equals the
+    batch exact-dedup distinct set. Incremental re-run with extra
+    duplicate files emits nothing new for already-seen hashes."""
+    from clinicaltransformerrelationextraction_spark.plans.pipeline import (
+        documents_as_pages,
+        load_documents,
+    )
+    from clinicaltransformerrelationextraction_spark.streaming.stream_pipeline import (
+        stream_dedup_pages,
+    )
+
+    docs = load_documents(spark, SF_SMOKE).limit(120)
+    pages = documents_as_pages(docs)
+    in_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "pages_out")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    pages.write.mode("overwrite").parquet(in_dir)
+    # duplicate half the pages as a second file drop (same url/text)
+    pages.limit(60).write.mode("append").parquet(in_dir)
+
+    stream_dedup_pages(spark, in_dir, ckpt, out_dir)
+    got = spark.read.parquet(out_dir)
+    batch_hashes = {
+        r.h for r in pages.select(F.md5("text").alias("h")).distinct()
+        .collect()
+    }
+    kept = got.groupBy("text_hash").count().collect()
+    assert {r.text_hash for r in kept} == batch_hashes
+    assert all(r["count"] == 1 for r in kept)  # one keeper per hash
+
+    # second drop: all duplicates of already-processed content
+    pages.limit(40).write.mode("append").parquet(in_dir)
+    stream_dedup_pages(spark, in_dir, ckpt, out_dir)
+    again = spark.read.parquet(out_dir).groupBy("text_hash").count()
+    assert again.filter(F.col("count") > 1).count() == 0
