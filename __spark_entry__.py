@@ -297,24 +297,29 @@ _WINDOW: list[str] = [
     "q_graph_components", "q_graph_triangles", "q_graph_user_components",
     # de-vacuated / re-planned / new this round
     "q_tpch_q6", "q_tpch_q10", "q_validate_rels", "q_loss_focal",
-    "q_tpch_q18", "q_hll_distinct",
-    # round-2 tail rotation (24 entries: the 27-query r2 tail minus
-    # q_validate_rels, pinned above, and the two slot-yields noted below)
+    "q_tpch_q18", "q_hll_distinct", "q_kmeans_centroids",
+    "q_stratified_sample",
+    # round-2 tail rotation (23 entries: the 27-query r2 tail minus
+    # q_validate_rels, pinned above, and the three slot-yields noted
+    # below)
     "q_seeded_sample", "q_simhash", "q_simhash_band_pairs",
     "q_simhash_hamming_hist", "q_token_stats", "q_big_spenders",
     "q_custkey_setops", "q_customers_with_building_orders",
-    # (q_distinct_labels / q_label_weights yield their rotation slots to
-    # the two NEW queries above: both are r2-driver-green, code-unchanged,
-    # vocabulary-independent, and stay covered by the in-repo parity suite)
+    # (q_distinct_labels / q_label_weights / q_event_type_pivot yield
+    # their rotation slots to NEW queries above: all three are
+    # r2-driver-green, code-unchanged, vocabulary-independent, and stay
+    # covered by the in-repo parity suite)
     "q_customers_without_orders",
-    "q_event_type_pivot", "q_events_by_hour", "q_events_by_value_band",
+    "q_events_by_hour", "q_events_by_value_band",
     "q_first_orders_per_customer", "q_fold_split", "q_json_props",
     "q_lineitem_cube", "q_part_strings",
     "q_revenue_by_region", "q_salted_agg", "q_top_orders", "q_tpch_q1",
     "q_tpch_q3", "q_tpch_q5", "q_union_priorities",
-    # gazetteer-affected downstream (code unchanged, results changed)
+    # gazetteer-affected downstream (code unchanged, results changed;
+    # q_tokenized_uni yielded its slot to q_kmeans_centroids — its sep
+    # twin q_tokenized_features stays and drives the same tokenizer)
     "q_triples_linked", "q_rel_stats", "q_tokenized_features",
-    "q_tokenized_uni", "q_brat_render", "q_eval_prf", "q_micro_prf",
+    "q_brat_render", "q_eval_prf", "q_micro_prf",
 ]
 
 

@@ -138,3 +138,32 @@ def q_seeded_sample(spark: SparkSession, sf: str) -> DataFrame:
     return top.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).select("rank", "o_orderkey", "rk")
+
+
+STRAT_N = 40  # docs kept per language stratum
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling — the balanced-subset selection a
+    training-data pipeline runs before expensive stages (e.g. cap each
+    language at N docs so a dominant language can't swamp the batch):
+    rank by md5(seed || doc_id) WITHIN each language and keep the first
+    STRAT_N. The per-stratum rank<=k is planned with a map-side partial
+    WindowGroupLimit (each task prunes to a local top-k before the one
+    shuffle on lang — the same sketch-merge dataflow as KMV), so at
+    10^12 docs the shuffle carries at most n_langs * STRAT_N * tasks
+    rows, not the corpus."""
+    from ..plans.pipeline import load_documents
+
+    d = load_documents(spark, sf)
+    rk = F.md5(
+        F.concat(
+            F.lit(f"{SAMPLE_SEED}|"), F.col("doc_id").cast("string")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("rk", "doc_id")
+    return (
+        d.select("lang", "doc_id", rk.alias("rk"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= STRAT_N)
+    )

@@ -348,3 +348,72 @@ def q_label_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
             F.min("cos").alias("min_cos"),
         )
     )
+
+
+KM_ITERS = 2  # fixed Lloyd rounds (cross-engine contract, like PR_ITERS)
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """K-means (Lloyd) refinement of the IVF coarse-quantizer codebook,
+    FULLY oracle-checked because every step is deterministic integer
+    arithmetic: seed = the per-label integer centroids (_centroids),
+    then exactly KM_ITERS rounds of
+
+        assign:  nearest centroid by exact bigint squared-L2
+                 (tie -> smallest cid, a total order)
+        update:  per-dim floor(sum/count) integer mean
+
+    Clusters that lose all members drop out (identical semantics in the
+    SQL twin). The per-round shape is the 100 TB one: the K-row codebook
+    is BROADCAST to the assignment join (never shuffled against the
+    corpus), the update is one map-side-combinable groupBy per round, and
+    lineage is cut per round (localCheckpoint) exactly like PageRank.
+    The DuckDB oracle unrolls the KM_ITERS rounds as MATERIALIZED CTEs.
+    Output: final centroids with member counts of the assignment that
+    produced them."""
+    from pyspark.sql import Window
+
+    vecs = _q(spark, sf).localCheckpoint()
+    cent = (
+        _centroids(spark, sf)
+        .select(F.col("label").alias("cid"), "centroid")
+        .localCheckpoint()
+    )
+    asg = None
+    for _ in range(KM_ITERS):
+        d = vecs.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "qe", "cid",
+            _sq_l2(F.col("qe"), F.col("centroid")).alias("dist"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        asg = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "qe", "cid")
+        )
+        dims = asg.select("cid", F.posexplode("qe").alias("dim", "v"))
+        cent = (
+            dims.groupBy("cid", "dim")
+            .agg(F.floor(F.sum("v") / F.count("*")).cast("long").alias("cv"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("dim"), F.col("cv")))
+                    ),
+                    lambda s: s["cv"],
+                ).alias("centroid")
+            )
+            .localCheckpoint()
+        )
+    counts = asg.groupBy("cid").agg(F.count("*").alias("n_members"))
+    return cent.join(counts, "cid").select("cid", "n_members", "centroid")

@@ -625,3 +625,68 @@ SELECT t.lang, t.n_docs,
   coalesce(k.kept_tokens, 0)::BIGINT AS kept_tokens
 FROM totals t LEFT JOIN kept k USING (lang)
 """
+
+
+def q_kmeans_centroids() -> str:
+    """K-means Lloyd refinement oracle (operators/similarity.py
+    q_kmeans_centroids): KM_ITERS assignment/update rounds unrolled as
+    MATERIALIZED CTEs (the same load-bearing hint as the PageRank
+    oracle); assignment = argmin of exact bigint squared-L2 with cid
+    tiebreak, update = per-dim floor(sum/count)."""
+    from ..operators.similarity import KM_ITERS
+
+    sq = (
+        "list_sum(list_transform(range(1, len(q.qe) + 1),"
+        " i -> (q.qe[i] - c.centroid[i]) * (q.qe[i] - c.centroid[i])))"
+    )
+    steps = []
+    prev = "c0"
+    for k in range(1, KM_ITERS + 1):
+        steps.append(f"""
+a{k} AS MATERIALIZED (
+  SELECT vec_id, qe, cid FROM (
+    SELECT q.vec_id, q.qe, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY {sq}, c.cid) AS rn
+    FROM q CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+c{k} AS MATERIALIZED (
+  SELECT cid,
+    list_transform(list_sort(list(struct_pack(d := dim, c := cv))),
+                   x -> x.c) AS centroid
+  FROM (
+    SELECT cid, d.i AS dim,
+      floor(sum(qe[d.i]) / count(*))::BIGINT AS cv
+    FROM a{k}, UNNEST(range(1, len(qe) + 1)) d(i)
+    GROUP BY cid, d.i
+  ) GROUP BY cid
+)""")
+        prev = f"c{k}"
+    unrolled = ",".join(s.strip() for s in steps)
+    return f"""
+WITH {_QE.strip()}, {_CENT.strip()},
+c0 AS MATERIALIZED (SELECT label AS cid, centroid FROM cent),
+{unrolled}
+SELECT c.cid, n.n_members, c.centroid
+FROM {prev} c JOIN (
+  SELECT cid, count(*)::BIGINT AS n_members
+  FROM a{KM_ITERS} GROUP BY cid
+) n USING (cid)
+"""
+
+
+def q_stratified_sample() -> str:
+    from ..operators.preprocess import SAMPLE_SEED, STRAT_N
+
+    return f"""
+SELECT lang, doc_id, rk, rank::INT AS rank FROM (
+  SELECT lang, doc_id,
+         md5('{SAMPLE_SEED}|' || doc_id::VARCHAR) AS rk,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('{SAMPLE_SEED}|' || doc_id::VARCHAR), doc_id
+         ) AS rank
+  FROM documents
+) WHERE rank <= {STRAT_N}
+"""

@@ -189,3 +189,16 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bktdemo.orders_b")
         spark.sql("DROP TABLE IF EXISTS bktdemo.cust_b")
         spark.sql("DROP DATABASE IF EXISTS bktdemo")
+
+
+def test_stratified_sample_keeps_partial_window_group_limit(spark):
+    """Per-stratum rank<=N must keep its map-side WindowGroupLimit so
+    each task prunes to a local top-N per language before the shuffle
+    (one partial + one final node) — at corpus scale the shuffle carries
+    n_langs * N * tasks rows, not the corpus."""
+    from clinicaltransformerrelationextraction_spark.operators.preprocess import (
+        q_stratified_sample,
+    )
+
+    plan = _plan(q_stratified_sample(spark, SF_SMOKE))
+    assert _nodes(plan).count("WindowGroupLimit") == 2
