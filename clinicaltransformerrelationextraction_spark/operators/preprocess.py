@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 
-__all__ = ["deidentify", "q_deid", "q_validate_rels", "q_seeded_sample"]
+__all__ = [
+    "deidentify", "q_deid", "q_validate_rels", "q_seeded_sample",
+    "q_stratified_sample",
+]
 
 MIMIC_PATTERN = r"\[\*\*|\*\*\]"
 SAMPLE_SEED = 13  # reference run.sh seed

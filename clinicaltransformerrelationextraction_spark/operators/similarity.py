@@ -211,19 +211,7 @@ def _centroids(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", "label", quantized(F.col("embedding")).alias("qe")
     )
     dims = q.select("label", F.posexplode("qe").alias("dim", "v"))
-    return (
-        dims.groupBy("label", "dim")
-        .agg(F.floor(F.sum("v") / F.count("*")).cast("long").alias("cv"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("dim"), F.col("cv")))
-                ),
-                lambda s: s["cv"],
-            ).alias("centroid")
-        )
-    )
+    return int_mean_centroid(dims, "label")
 
 
 # cells each query probes — IVF's recall/scan-scope dial. Measured curve
@@ -302,23 +290,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_label_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-label quantized centroid (integer mean, floor division) and each
-    vector's cosine to its own label centroid, aggregated per label —
-    exercises array aggregation + rejoin."""
-    q = _emb(spark, sf).select(
-        "vec_id", "label", quantized(F.col("embedding")).alias("qe")
-    )
-    # integer centroid: floor(sum_i / n) per dimension
-    dims = q.select(
-        "vec_id", "label", F.posexplode("qe").alias("dim", "v")
-    )
-    # floor, not cast: Spark double->long cast truncates toward zero while
-    # DuckDB ::BIGINT rounds — floor() agrees on both engines
-    cent = (
-        dims.groupBy("label", "dim")
+def int_mean_centroid(dims: DataFrame, key: str) -> DataFrame:
+    """Per-``key`` integer centroid from exploded (key, dim, v) rows:
+    per-dim floor(sum/count), re-assembled in dim order. floor, not
+    cast: Spark double->long cast truncates toward zero while DuckDB
+    ::BIGINT rounds — floor() agrees on both engines (the load-bearing
+    cross-engine discipline; the SQL twin is oracle_training._cent_body).
+    Single shared implementation for the label codebook, the
+    centroid-similarity query, and the k-means update step."""
+    return (
+        dims.groupBy(key, "dim")
         .agg(F.floor(F.sum("v") / F.count("*")).cast("long").alias("cv"))
-        .groupBy("label")
+        .groupBy(key)
         .agg(
             F.transform(
                 F.array_sort(
@@ -328,6 +311,19 @@ def q_label_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+def q_label_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label quantized centroid (integer mean, floor division) and each
+    vector's cosine to its own label centroid, aggregated per label —
+    exercises array aggregation + rejoin."""
+    q = _emb(spark, sf).select(
+        "vec_id", "label", quantized(F.col("embedding")).alias("qe")
+    )
+    dims = q.select(
+        "vec_id", "label", F.posexplode("qe").alias("dim", "v")
+    )
+    cent = int_mean_centroid(dims, "label")
     joined = q.join(F.broadcast(cent), "label").select(
         "label", cosine(F.col("qe"), F.col("centroid")).alias("cos")
     )
@@ -395,25 +391,16 @@ def q_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
             _sq_l2(F.col("qe"), F.col("centroid")).alias("dist"),
         )
         w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        # checkpoint the assignment: it feeds BOTH the centroid update
+        # and (on the last round) the member counts — without this the
+        # corpus×K argmin would re-execute from lineage for the counts
         asg = (
             d.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "qe", "cid")
-        )
-        dims = asg.select("cid", F.posexplode("qe").alias("dim", "v"))
-        cent = (
-            dims.groupBy("cid", "dim")
-            .agg(F.floor(F.sum("v") / F.count("*")).cast("long").alias("cv"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("dim"), F.col("cv")))
-                    ),
-                    lambda s: s["cv"],
-                ).alias("centroid")
-            )
             .localCheckpoint()
         )
+        dims = asg.select("cid", F.posexplode("qe").alias("dim", "v"))
+        cent = int_mean_centroid(dims, "cid").localCheckpoint()
     counts = asg.groupBy("cid").agg(F.count("*").alias("n_members"))
     return cent.join(counts, "cid").select("cid", "n_members", "centroid")

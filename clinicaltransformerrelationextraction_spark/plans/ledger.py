@@ -141,14 +141,24 @@ def _write_text(path: str, text: str) -> None:
         opts = gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
         opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
         fc.rename(htmp, hp, opts)
-    except Exception:
+    except Exception as ex:
         # FileContext needs an AbstractFileSystem binding
-        # (fs.AbstractFileSystem.<scheme>.impl); connectors that register
-        # only a FileSystem impl fall back to the pre-existing two-call
-        # replace — non-atomic (a reader can hit the gap), but functional
+        # (fs.AbstractFileSystem.<scheme>.impl); ONLY that gap falls back
+        # to the pre-existing two-call replace — non-atomic (a reader can
+        # hit the gap), but functional. Any other failure (missing tmp,
+        # store error) must propagate: entering the fallback on it could
+        # delete the good ledger and then fail the rename.
+        if "UnsupportedFileSystemException" not in str(ex):
+            raise
         if fs.exists(hp):
             fs.delete(hp, False)
-        fs.rename(htmp, hp)
+        # FileSystem.rename signals failure via its boolean, not an
+        # exception — a swallowed False here would silently lose the
+        # ledger (delete happened, replace did not)
+        if not fs.rename(htmp, hp):
+            raise IOError(
+                f"metadata rename failed: {path}.tmp -> {path}"
+            ) from ex
 
 
 @dataclass

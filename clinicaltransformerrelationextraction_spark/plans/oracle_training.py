@@ -333,20 +333,24 @@ WHERE {cos} > {NEARDUP_COS}
 """
 
 
-_CENT = """
-dims AS (
-  SELECT label, d.i AS dim, qe[d.i] AS v
-  FROM q, UNNEST(range(1, len(qe) + 1)) d(i)
-),
-cd AS (
-  SELECT label, dim, floor(sum(v) / count(*))::BIGINT AS cv
-  FROM dims GROUP BY label, dim
-),
-cent AS (
-  SELECT label,
+def _cent_body(src: str, key: str) -> str:
+    """Per-``key`` integer-mean centroid SQL (floor division, dim-order
+    reassembly) — the single SQL twin of similarity.int_mean_centroid;
+    used by the label codebook and every unrolled k-means update step."""
+    return f"""SELECT {key},
     list_transform(list_sort(list(struct_pack(d := dim, c := cv))),
                    x -> x.c) AS centroid
-  FROM cd GROUP BY label
+  FROM (
+    SELECT {key}, d.i AS dim,
+      floor(sum(qe[d.i]) / count(*))::BIGINT AS cv
+    FROM {src}, UNNEST(range(1, len(qe) + 1)) d(i)
+    GROUP BY {key}, d.i
+  ) GROUP BY {key}"""
+
+
+_CENT = f"""
+cent AS (
+  {_cent_body("q", "label")}
 )"""
 
 
@@ -652,15 +656,7 @@ a{k} AS MATERIALIZED (
   ) WHERE rn = 1
 ),
 c{k} AS MATERIALIZED (
-  SELECT cid,
-    list_transform(list_sort(list(struct_pack(d := dim, c := cv))),
-                   x -> x.c) AS centroid
-  FROM (
-    SELECT cid, d.i AS dim,
-      floor(sum(qe[d.i]) / count(*))::BIGINT AS cv
-    FROM a{k}, UNNEST(range(1, len(qe) + 1)) d(i)
-    GROUP BY cid, d.i
-  ) GROUP BY cid
+  {_cent_body(f"a{k}", "cid")}
 )""")
         prev = f"c{k}"
     unrolled = ",".join(s.strip() for s in steps)

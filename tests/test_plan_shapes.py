@@ -202,3 +202,81 @@ def test_stratified_sample_keeps_partial_window_group_limit(spark):
 
     plan = _plan(q_stratified_sample(spark, SF_SMOKE))
     assert _nodes(plan).count("WindowGroupLimit") == 2
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling is ON in the session factory and actually
+    fires: a join whose build side has one dominant key (the host-domain
+    skew of a crawl corpus) gets its oversized shuffle partition SPLIT at
+    runtime — the executed plan shows SortMergeJoin(skew=true) with an
+    'AQEShuffleRead skewed' child instead of one straggler task. The
+    salting path (cfg.salt_buckets, q_salted_agg) remains the static
+    fallback; this pins the adaptive one. Thresholds are lowered so the
+    skew is detectable at test scale; a skew-split must not change
+    results (checked against the plain aggregate)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        big = spark.range(0, 200000).select(
+            F.when(F.col("id") < 180000, F.lit(0))
+            .otherwise((F.col("id") % 100) + 1).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(0, 101).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("attr")
+        )
+        j = big.join(dim, "k").select(
+            F.sum(F.length("payload")).alias("s")
+        )
+        [row] = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+        assert row.s == 200000 * 32  # every payload md5 joined exactly once
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_partitioned_triples_scan_prunes_partitions(spark, tmp_path):
+    """Materialized triples partitioned by predicate (the Iceberg-style
+    graph-table layout the north rule asks for): a pred-filtered read
+    must prune at the PARTITION level — the filter appears under
+    PartitionFilters in the scan, so non-matching predicate directories
+    are never listed/read. At 100 TB this is the difference between
+    scanning one relation type and scanning the whole KG."""
+    trip = run_pipeline(
+        load_documents(spark, SF_SMOKE), PipelineConfig()
+    ).triples.select("doc_id", "rel_id", "subj_id", "obj_id", "pred")
+    out = str(tmp_path / "triples_by_pred")
+    trip.write.partitionBy("pred").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("pred") == "adverse")
+    plan = _plan(back)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "pred" in pf.group(1), plan[:1500]
+    assert back.count() == trip.filter(F.col("pred") == "adverse").count()

@@ -276,19 +276,24 @@ def test_streaming_dedup_matches_batch_exact_dedup(spark, tmp_path):
         stream_dedup_pages,
     )
 
-    docs = load_documents(spark, SF_SMOKE).limit(120)
-    pages = documents_as_pages(docs)
+    # orderBy before limit (LIMIT alone may pick a different subset per
+    # re-evaluation), and an immutable STAGING copy as the single source
+    # of truth — never re-read a directory that is being appended to
+    docs = load_documents(spark, SF_SMOKE).orderBy("doc_id").limit(120)
+    staging = str(tmp_path / "pages_staging")
     in_dir = str(tmp_path / "pages_in")
     out_dir = str(tmp_path / "pages_out")
     ckpt = str(tmp_path / "ckpt_dedup")
-    pages.write.mode("overwrite").parquet(in_dir)
+    documents_as_pages(docs).write.mode("overwrite").parquet(staging)
+    base = spark.read.parquet(staging)
+    base.write.mode("overwrite").parquet(in_dir)
     # duplicate half the pages as a second file drop (same url/text)
-    pages.limit(60).write.mode("append").parquet(in_dir)
+    base.orderBy("url").limit(60).write.mode("append").parquet(in_dir)
 
     stream_dedup_pages(spark, in_dir, ckpt, out_dir)
     got = spark.read.parquet(out_dir)
     batch_hashes = {
-        r.h for r in pages.select(F.md5("text").alias("h")).distinct()
+        r.h for r in base.select(F.md5("text").alias("h")).distinct()
         .collect()
     }
     kept = got.groupBy("text_hash").count().collect()
@@ -296,7 +301,7 @@ def test_streaming_dedup_matches_batch_exact_dedup(spark, tmp_path):
     assert all(r["count"] == 1 for r in kept)  # one keeper per hash
 
     # second drop: all duplicates of already-processed content
-    pages.limit(40).write.mode("append").parquet(in_dir)
+    base.orderBy("url").limit(40).write.mode("append").parquet(in_dir)
     stream_dedup_pages(spark, in_dir, ckpt, out_dir)
     again = spark.read.parquet(out_dir).groupBy("text_hash").count()
     assert again.filter(F.col("count") > 1).count() == 0
