@@ -48,6 +48,8 @@ EXTRA = [
     "q_graph_pagerank",   # iterative integer PageRank (per-round lineage cut)
     "q_dedup_clusters",   # label-propagation connected components
     "q_ann_ivf_topk",     # IVF coarse-quantizer ANN
+    "q_kmeans_centroids",  # Lloyd codebook refinement (broadcast codebook)
+    "q_graph_user_components",  # events co-action graph components
 ]
 
 # noise defense (the r02 lesson: one unlucky driver sample defined the
