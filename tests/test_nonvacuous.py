@@ -124,3 +124,74 @@ def test_star_components_match_minlabel_real(spark):
 
     und = graph._undirected(spark, SF_SMOKE)
     _star_equals_minlabel(spark, und)
+
+
+def test_hll_sketch_matches_independent_python_reference(spark, tmp_path):
+    """Third-implementation check for the HyperLogLog sketch: Spark and
+    the DuckDB oracle share their constants, so a spec bug in the shared
+    formula would pass two-engine parity — this pure-Python reference is
+    derived independently from the definition (48-bit md5 prefix, top-6
+    bucket, rho = leading zeros of the 42 value bits + 1, register max,
+    S_int with empty buckets at 2^43). Runs on seeded random corpora
+    plus edge shapes (single doc, repeated text, 1-token docs)."""
+    import hashlib
+    import random
+
+    from clinicaltransformerrelationextraction_spark.operators.textstats import (
+        HLL_EST_NUM,
+        HLL_M,
+        HLL_MAXR,
+        HLL_WBITS,
+        q_hll_distinct,
+    )
+
+    def py_hll(docs):
+        shingles = {}  # lang -> set of bigrams
+        for lang, text in docs:
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                shingles.setdefault(lang, set()).add(
+                    toks[i] + " " + toks[i + 1]
+                )
+        out = {}
+        for lang, sh in shingles.items():
+            regs = {}
+            for s in sh:
+                h = int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+                bucket = h >> HLL_WBITS
+                w = h & ((1 << HLL_WBITS) - 1)
+                rho = HLL_MAXR if w == 0 else HLL_MAXR - w.bit_length()
+                regs[bucket] = max(regs.get(bucket, 0), rho)
+            s_int = sum(1 << (HLL_MAXR - m) for m in regs.values())
+            s_int += (HLL_M - len(regs)) * (1 << HLL_MAXR)
+            out[lang] = (
+                len(regs), s_int, len(sh),
+                HLL_EST_NUM / (1_000_000.0 * float(s_int)),
+            )
+        return out
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = [
+        ("en", " ".join(rng.choices(vocab, k=rng.randint(2, 60))))
+        for _ in range(80)
+    ]
+    docs += [
+        ("de", " ".join(rng.choices(vocab[:30], k=rng.randint(2, 20))))
+        for _ in range(40)
+    ]
+    docs += [("fr", "a b"), ("fr", "a b"), ("xx", "solo")]  # edge shapes
+    d = str(tmp_path / "hll")
+    spark.createDataFrame(
+        [(i, t, lg) for i, (lg, t) in enumerate(docs)],
+        "doc_id long, text string, lang string",
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    got = {
+        r.lang: (r.n_buckets_hit, r.s_int, r.n_exact, r.est_distinct)
+        for r in q_hll_distinct(spark, d).collect()
+    }
+    want = py_hll(docs)
+    assert set(got) == set(want)
+    for lang in want:
+        assert got[lang][:3] == want[lang][:3], lang
+        assert abs(got[lang][3] - want[lang][3]) < 1e-9, lang

@@ -280,3 +280,31 @@ def test_partitioned_triples_scan_prunes_partitions(spark, tmp_path):
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "pred" in pf.group(1), plan[:1500]
     assert back.count() == trip.filter(F.col("pred") == "adverse").count()
+
+
+def test_kmeans_assignment_broadcasts_codebook(spark):
+    """One Lloyd assignment round must BROADCAST the K-row codebook
+    against the corpus (BroadcastNestedLoopJoin from the hinted
+    crossJoin) with no SinglePartition funnel — the shape that keeps
+    each round a single scan of the vectors. Built from the same
+    internals q_kmeans_centroids iterates (the full query executes its
+    rounds eagerly via localCheckpoint, so the round plan must be
+    inspected directly)."""
+    from pyspark.sql import functions as F
+
+    from clinicaltransformerrelationextraction_spark.operators import (
+        similarity as S,
+    )
+
+    vecs = S._q(spark, SF_SMOKE)
+    cent = S._centroids(spark, SF_SMOKE).select(
+        F.col("label").alias("cid"), "centroid"
+    )
+    d = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid",
+        S._sq_l2(F.col("qe"), F.col("centroid")).alias("dist"),
+    )
+    plan = _plan(d)
+    nodes = _nodes(plan)
+    assert "BroadcastNestedLoopJoin" in nodes, nodes
+    assert "SinglePartition" not in plan
