@@ -202,6 +202,14 @@ def _q_graph_user_components(spark: SparkSession, sf: str) -> DataFrame:
     return q_graph_user_components(spark, sf)
 
 
+def _q_graph_user_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        q_graph_user_pagerank,
+    )
+
+    return q_graph_user_pagerank(spark, sf)
+
+
 def _q_graph_components_star(spark: SparkSession, sf: str) -> DataFrame:
     from clinicaltransformerrelationextraction_spark.operators.graph import (
         q_graph_components_star,
@@ -295,6 +303,7 @@ _WINDOW: list[str] = [
     # graph layer (two changed + one new; all gazetteer-affected)
     "q_graph_degree", "q_graph_two_hop", "q_graph_pagerank",
     "q_graph_components", "q_graph_triangles", "q_graph_user_components",
+    "q_graph_user_pagerank",
     # de-vacuated / re-planned / new this round
     "q_tpch_q6", "q_tpch_q10", "q_validate_rels", "q_loss_focal",
     "q_tpch_q18", "q_hll_distinct", "q_kmeans_centroids",
@@ -305,12 +314,13 @@ _WINDOW: list[str] = [
     "q_seeded_sample", "q_simhash", "q_simhash_band_pairs",
     "q_simhash_hamming_hist", "q_token_stats", "q_big_spenders",
     "q_custkey_setops", "q_customers_with_building_orders",
-    # (q_distinct_labels / q_label_weights / q_event_type_pivot yield
-    # their rotation slots to NEW queries above: all three are
-    # r2-driver-green, code-unchanged, vocabulary-independent, and stay
-    # covered by the in-repo parity suite)
+    # (q_distinct_labels / q_label_weights / q_event_type_pivot /
+    # q_events_by_hour yield their rotation slots to NEW queries above:
+    # all four are r2-driver-green, code-unchanged,
+    # vocabulary-independent, and stay covered by the in-repo parity
+    # suite)
     "q_customers_without_orders",
-    "q_events_by_hour", "q_events_by_value_band",
+    "q_events_by_value_band",
     "q_first_orders_per_customer", "q_fold_split", "q_json_props",
     "q_lineitem_cube", "q_part_strings",
     "q_revenue_by_region", "q_salted_agg", "q_top_orders", "q_tpch_q1",
@@ -339,6 +349,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_triangles": _q_graph_triangles,
         "q_graph_user_components": _q_graph_user_components,
         "q_graph_components_star": _q_graph_components_star,
+        "q_graph_user_pagerank": _q_graph_user_pagerank,
         "q_micro_prf": _q_micro_prf,
         "q_tokenized_features": _q_tokenized_features,
         "q_tokenized_uni": _q_tokenized_uni,
@@ -371,6 +382,7 @@ def _all_oracle_sql() -> dict[str, str]:
         # the star-contraction variant computes the identical fixpoint,
         # so it shares the components oracle verbatim
         "q_graph_components_star": oracle.q_graph_components(),
+        "q_graph_user_pagerank": oracle.q_graph_user_pagerank(),
         "q_micro_prf": oracle.q_micro_prf(),
         "q_tokenized_features": oracle.q_tokenized_features(),
         "q_tokenized_uni": oracle.q_tokenized_uni(),

@@ -50,6 +50,7 @@ EXTRA = [
     "q_ann_ivf_topk",     # IVF coarse-quantizer ANN
     "q_kmeans_centroids",  # Lloyd codebook refinement (broadcast codebook)
     "q_graph_user_components",  # events co-action graph components
+    "q_graph_user_pagerank",  # integer PageRank on the sf-scaled graph
 ]
 
 # noise defense (the r02 lesson: one unlucky driver sample defined the

@@ -18,7 +18,8 @@ __all__ = [
     "q_graph_degree", "q_graph_two_hop", "q_graph_pagerank",
     "q_graph_components", "q_graph_triangles",
     "q_graph_user_components", "q_graph_components_star",
-    "min_label_components", "star_components",
+    "q_graph_user_pagerank",
+    "min_label_components", "star_components", "integer_pagerank",
 ]
 
 PR_ITERS = 3  # fixed iteration count (cross-engine: both run exactly K)
@@ -67,8 +68,16 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             F.col("obj_canonical").alias("dst"),
         )
         .distinct()
-        .localCheckpoint()
     )
+    return integer_pagerank(edges)
+
+
+def integer_pagerank(edges: DataFrame) -> DataFrame:
+    """Exact-integer PageRank power iteration over a distinct directed
+    edge list ``(src, dst)`` — see :func:`q_graph_pagerank` for the
+    formula and cross-engine discipline. Shared by the entity-graph and
+    user-co-action-graph queries."""
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("entity"))
         .unionByName(edges.select(F.col("dst").alias("entity")))
@@ -321,6 +330,12 @@ def q_graph_user_components(spark: SparkSession, sf: str) -> DataFrame:
     time-bounded, so group size is bounded by daily activity per key —
     never a corpus cross join), then the same min-label propagation
     primitive as the entity components."""
+    return min_label_components(_user_edges(spark, sf))
+
+
+def _user_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Undirected co-action edge list (a < b) of the events user graph:
+    same prop key ``k`` on the same day => edge."""
     from .relational import _t
 
     ev = _t(spark, sf, "events")
@@ -329,7 +344,7 @@ def q_graph_user_components(spark: SparkSession, sf: str) -> DataFrame:
         F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
         "user_id",
     ).distinct().localCheckpoint()
-    und = (
+    return (
         grp.alias("x")
         .join(grp.alias("y"), ["k", "day"])
         .filter(F.col("x.user_id") < F.col("y.user_id"))
@@ -338,7 +353,21 @@ def q_graph_user_components(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    return min_label_components(und)
+
+
+def q_graph_user_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer PageRank over the (symmetrized) events co-action user
+    graph — the iterative heavy on the graph whose node count GROWS with
+    sf (15/150/1500 users), complementing the vocabulary-capped entity
+    graph: same exact-arithmetic contract, same unrolled recursive-CTE
+    oracle, three orders of magnitude more nodes at sf0.1."""
+    und = _user_edges(spark, sf).localCheckpoint()
+    edges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return integer_pagerank(edges)
 
 
 def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:

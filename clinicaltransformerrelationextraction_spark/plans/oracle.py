@@ -283,6 +283,53 @@ SELECT entity, rank FROM {prev}
 """
 
 
+def q_graph_user_pagerank() -> str:
+    """Integer PageRank oracle over the symmetrized events co-action
+    user graph: same unrolled-MATERIALIZED power iteration as
+    q_graph_pagerank, over the user-edge CTEs of
+    q_graph_user_components."""
+    from ..operators.graph import PR_ITERS, PR_UNIT
+
+    steps = []
+    prev = "pr0"
+    for k in range(1, PR_ITERS + 1):
+        steps.append(f"""
+pr{k} AS MATERIALIZED (
+  SELECT n.entity,
+    (150000 + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS entity, sum(p.rank // o.outdeg)::BIGINT AS s
+    FROM e JOIN {prev} p ON p.entity = e.src JOIN od o ON o.src = e.src
+    GROUP BY e.dst
+  ) c ON c.entity = n.entity
+)""")
+        prev = f"pr{k}"
+    unrolled = ",".join(s.strip() for s in steps)
+    return f"""
+WITH grp AS MATERIALIZED (
+  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+    date_trunc('day', ts) AS day, user_id
+  FROM events
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+  FROM grp x JOIN grp y ON x.k = y.k AND x.day = y.day
+  WHERE x.user_id < y.user_id
+),
+e AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0
+  UNION ALL
+  SELECT b, a FROM e0
+),
+nodes AS MATERIALIZED (
+  SELECT src AS entity FROM e UNION SELECT dst FROM e),
+od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+pr0 AS MATERIALIZED (SELECT entity, {PR_UNIT}::BIGINT AS rank FROM nodes),
+{unrolled}
+SELECT entity, rank FROM {prev}
+"""
+
+
 def q_graph_two_hop() -> str:
     """Symmetrized two-hop census: forward edges + '_inv' reverse edges
     (the raw directed KG is bipartite args->Drug, so without the reverse
