@@ -583,3 +583,82 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+FUNNEL_WINDOW_US = 30 * 60 * 1_000_000  # view->click attribution window
+
+
+def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """View->click conversion funnel per day: a click CONVERTS when the
+    same user viewed at most 30 minutes earlier (inclusive). Composed
+    from the as-of join (union-tag + ONE window pass — no range-explosion
+    pair join) plus a per-day rollup; the conversion rate is an exact
+    integer micro-ratio, never a float division summed across rows."""
+    asof = q_events_asof(spark, sf)
+    clicks = asof.select(
+        F.unix_micros(
+            F.date_trunc(
+                "day", F.timestamp_micros(F.col("click_us"))
+            )
+        ).alias("day_us"),
+        F.when(
+            F.col("asof_view_id").isNotNull()
+            & (F.col("lag_us") <= FUNNEL_WINDOW_US),
+            1,
+        ).otherwise(0).alias("converted"),
+    )
+    cday = clicks.groupBy("day_us").agg(
+        F.count("*").alias("n_clicks"),
+        F.sum("converted").alias("n_converted"),
+    )
+    ev = _t(spark, sf, "events")
+    vday = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(
+            F.unix_micros(
+                F.date_trunc("day", F.col("ts").cast("timestamp"))
+            ).alias("day_us")
+        )
+        .agg(F.count("*").alias("n_views"))
+    )
+    return cday.join(vday, "day_us", "full").select(
+        "day_us",
+        F.coalesce("n_views", F.lit(0)).alias("n_views"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_converted", F.lit(0)).alias("n_converted"),
+        F.when(
+            F.coalesce("n_clicks", F.lit(0)) > 0,
+            F.expr("(coalesce(n_converted, 0) * 1000000)"
+                   " div coalesce(n_clicks, 1)"),
+        ).otherwise(F.lit(0)).cast("long").alias("conv_rate_micro"),
+    )
+
+
+def q_events_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact P50/P90/P99 of event value per type, percentile_disc-style:
+    values quantized to integer micros, ranked per type with a
+    deterministic tiebreak, and the element at rank ceil(p*n/100)
+    selected — pure integer arithmetic, so the result is an actual data
+    value and hash-exact cross-engine (double interpolation never is).
+    The per-group sort is the exact-percentile cost; at 10^12 rows the
+    approximate path is percentile_approx (a mergeable sketch, same
+    shape as KMV/HLL here), with THIS query as its accuracy oracle on
+    samples."""
+    ev = _t(spark, sf, "events")
+    vm = F.floor(F.col("value") * 1_000_000 + 0.5).cast("long")
+    base = ev.select("event_type", vm.alias("vm"), "event_id")
+    w = Window.partitionBy("event_type").orderBy("vm", "event_id")
+    wall = Window.partitionBy("event_type")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wall)
+    )
+
+    def pick(p: int):
+        target = F.expr(f"(n * {p} + 99) div 100")
+        return F.max(
+            F.when(F.col("rn") == target, F.col("vm"))
+        ).alias(f"p{p}_micro")
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"), pick(50), pick(90), pick(99)
+    )

@@ -352,3 +352,76 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
+
+
+def q_events_funnel() -> str:
+    from ..operators.relational import FUNNEL_WINDOW_US
+
+    return f"""
+WITH u AS (
+  SELECT user_id, ts, 0 AS tag, event_id AS v_id, NULL::BIGINT AS c_id
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, 1, NULL::BIGINT, event_id
+  FROM events WHERE event_type = 'click'
+),
+carried AS (
+  SELECT user_id, c_id, epoch_us(ts)::BIGINT AS ev_us,
+    last_value(v_id IGNORE NULLS) OVER w AS asof_view_id,
+    last_value(CASE WHEN v_id IS NOT NULL THEN epoch_us(ts)::BIGINT END
+               IGNORE NULLS) OVER w AS asof_view_us
+  FROM u
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts, tag, coalesce(v_id, c_id)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+clicks AS (
+  SELECT epoch_us(date_trunc('day', make_timestamp(ev_us)))::BIGINT
+           AS day_us,
+    CASE WHEN asof_view_id IS NOT NULL
+          AND (ev_us - asof_view_us) <= {FUNNEL_WINDOW_US}
+         THEN 1 ELSE 0 END AS converted
+  FROM carried WHERE c_id IS NOT NULL
+),
+cday AS (
+  SELECT day_us, count(*)::BIGINT AS n_clicks,
+         sum(converted)::BIGINT AS n_converted
+  FROM clicks GROUP BY 1
+),
+vday AS (
+  SELECT epoch_us(date_trunc('day', ts))::BIGINT AS day_us,
+         count(*)::BIGINT AS n_views
+  FROM events WHERE event_type = 'view' GROUP BY 1
+)
+SELECT day_us,
+  coalesce(n_views, 0)::BIGINT AS n_views,
+  coalesce(n_clicks, 0)::BIGINT AS n_clicks,
+  coalesce(n_converted, 0)::BIGINT AS n_converted,
+  (CASE WHEN coalesce(n_clicks, 0) > 0
+        THEN (coalesce(n_converted, 0) * 1000000) // coalesce(n_clicks, 1)
+        ELSE 0 END)::BIGINT AS conv_rate_micro
+FROM cday FULL JOIN vday USING (day_us)
+"""
+
+
+def q_events_percentiles() -> str:
+    picks = ",\n  ".join(
+        f"max(CASE WHEN rn = (n * {p} + 99) // 100 THEN vm END)::BIGINT"
+        f" AS p{p}_micro"
+        for p in (50, 90, 99)
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type, floor(value * 1000000 + 0.5)::BIGINT AS vm, event_id
+  FROM events
+),
+ranked AS (
+  SELECT event_type, vm,
+    row_number() OVER (PARTITION BY event_type ORDER BY vm, event_id) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+)
+SELECT event_type, max(n)::BIGINT AS n,
+  {picks}
+FROM ranked GROUP BY event_type
+"""
