@@ -308,8 +308,8 @@ _WINDOW: list[str] = [
     "q_tpch_q6", "q_tpch_q10", "q_validate_rels", "q_loss_focal",
     "q_tpch_q18", "q_hll_distinct", "q_kmeans_centroids",
     "q_stratified_sample", "q_events_funnel", "q_events_percentiles",
-    # round-2 tail rotation (23 entries: the 27-query r2 tail minus
-    # q_validate_rels, pinned above, and the three slot-yields noted
+    # round-2 tail rotation (20 entries: the 27-query r2 tail minus
+    # q_validate_rels, pinned above, and the six slot-yields noted
     # below)
     "q_seeded_sample", "q_simhash", "q_simhash_band_pairs",
     "q_simhash_hamming_hist", "q_token_stats", "q_big_spenders",

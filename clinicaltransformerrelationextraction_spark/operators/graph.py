@@ -163,6 +163,21 @@ def _undirected(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _symmetrize(und: DataFrame) -> DataFrame:
+    """Directed (src, dst) edge list from an undirected (a, b) one —
+    each edge in both directions. Checkpoints the input ONCE first: the
+    union references it twice, which would otherwise execute the
+    (potentially pipeline-heavy) edge derivation per branch. Output is
+    distinct iff the input satisfies a < b (the convention of every
+    caller's edge builder)."""
+    und = und.localCheckpoint()
+    return und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
 def min_label_components(und: DataFrame) -> DataFrame:
     """Connected components of an undirected edge list ``(a, b)``: every
     node labeled with the min node of its component (the canonical
@@ -174,17 +189,7 @@ def min_label_components(und: DataFrame) -> DataFrame:
     same join primitive runs as large-star/small-star contraction
     (O(log n) rounds). The DuckDB oracle computes the identical fixpoint
     as a recursive transitive closure + min."""
-    # materialize the undirected edge list ONCE: the symmetric union
-    # below references it twice, which would otherwise execute the
-    # (potentially pipeline-heavy) edge derivation per branch
-    und = und.localCheckpoint()
-    edges = (
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(
-            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
-        .localCheckpoint()
-    )
+    edges = _symmetrize(und).localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("entity")).distinct().localCheckpoint()
     )
@@ -249,15 +254,7 @@ def star_components(und: DataFrame) -> DataFrame:
     :func:`min_label_components` (entity, component, is_root) and the
     two algorithms agree exactly (pytest-pinned), so this reuses the
     recursive-CTE components oracle unchanged."""
-    und = und.localCheckpoint()
-    edges = (
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(
-            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _symmetrize(und).distinct().localCheckpoint()
     nodes = edges.select(F.col("src").alias("entity")).distinct() \
         .localCheckpoint()
     while True:
@@ -361,13 +358,7 @@ def q_graph_user_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     sf (15/150/1500 users), complementing the vocabulary-capped entity
     graph: same exact-arithmetic contract, same unrolled recursive-CTE
     oracle, three orders of magnitude more nodes at sf0.1."""
-    und = _user_edges(spark, sf).localCheckpoint()
-    edges = und.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(
-        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
-    return integer_pagerank(edges)
+    return integer_pagerank(_symmetrize(_user_edges(spark, sf)))
 
 
 def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:

@@ -246,16 +246,20 @@ FROM linked GROUP BY 1
 """
 
 
-def q_graph_pagerank() -> str:
-    """Integer-exact power iteration, unrolled PR_ITERS times (SQL forbids
-    aggregates in a recursive term, and a FIXED iteration count is the
-    cross-engine contract anyway)."""
-    from ..operators.graph import PR_ITERS, PR_UNIT
+def _pr_unrolled() -> tuple[str, str]:
+    """(unrolled step CTEs, final CTE name) of the integer PageRank
+    power iteration over CTEs ``e``/``nodes``/``od``/``pr0`` — the
+    single SQL twin of operators.graph.integer_pagerank, shared by the
+    entity-graph and user-graph oracles. SQL forbids aggregates in a
+    recursive term, and a FIXED iteration count is the cross-engine
+    contract anyway, so the PR_ITERS rounds unroll as CTE levels.
 
-    # MATERIALIZED hints are load-bearing: without them DuckDB inlines
-    # every CTE reference and the unrolled iteration expands the heavy
-    # pipeline subtree exponentially (observed: planner OOM on a 10-node
-    # graph). Materializing each level pins one evaluation per CTE.
+    MATERIALIZED hints are load-bearing: without them DuckDB inlines
+    every CTE reference and the unrolled iteration expands the heavy
+    upstream subtree exponentially (observed: planner OOM on a 10-node
+    graph). Materializing each level pins one evaluation per CTE."""
+    from ..operators.graph import PR_ITERS
+
     steps = []
     prev = "pr0"
     for k in range(1, PR_ITERS + 1):
@@ -270,10 +274,16 @@ pr{k} AS MATERIALIZED (
   ) c ON c.entity = n.entity
 )""")
         prev = f"pr{k}"
-    unrolled = ",".join(s.strip() for s in steps)
-    return f"""{PIPELINE_PREFIX},{PRED_CTE},{TRIPLES_CTE},{_LINKED_CTES},
-e AS MATERIALIZED (
-  SELECT DISTINCT subj_canonical AS src, obj_canonical AS dst FROM linked),
+    return ",".join(s.strip() for s in steps), prev
+
+
+def _pr_tail() -> str:
+    """nodes/od/pr0 setup + unrolled rounds + final SELECT, over an
+    already-defined MATERIALIZED edge CTE ``e (src, dst)``."""
+    from ..operators.graph import PR_UNIT
+
+    unrolled, prev = _pr_unrolled()
+    return f"""
 nodes AS MATERIALIZED (
   SELECT src AS entity FROM e UNION SELECT dst FROM e),
 od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
@@ -283,30 +293,19 @@ SELECT entity, rank FROM {prev}
 """
 
 
-def q_graph_user_pagerank() -> str:
-    """Integer PageRank oracle over the symmetrized events co-action
-    user graph: same unrolled-MATERIALIZED power iteration as
-    q_graph_pagerank, over the user-edge CTEs of
-    q_graph_user_components."""
-    from ..operators.graph import PR_ITERS, PR_UNIT
+def q_graph_pagerank() -> str:
+    """Integer-exact power iteration over the canonical entity graph
+    (see _pr_unrolled for the unrolling + MATERIALIZED rationale)."""
+    return f"""{PIPELINE_PREFIX},{PRED_CTE},{TRIPLES_CTE},{_LINKED_CTES},
+e AS MATERIALIZED (
+  SELECT DISTINCT subj_canonical AS src, obj_canonical AS dst FROM linked),
+{_pr_tail()}"""
 
-    steps = []
-    prev = "pr0"
-    for k in range(1, PR_ITERS + 1):
-        steps.append(f"""
-pr{k} AS MATERIALIZED (
-  SELECT n.entity,
-    (150000 + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS rank
-  FROM nodes n LEFT JOIN (
-    SELECT e.dst AS entity, sum(p.rank // o.outdeg)::BIGINT AS s
-    FROM e JOIN {prev} p ON p.entity = e.src JOIN od o ON o.src = e.src
-    GROUP BY e.dst
-  ) c ON c.entity = n.entity
-)""")
-        prev = f"pr{k}"
-    unrolled = ",".join(s.strip() for s in steps)
-    return f"""
-WITH grp AS MATERIALIZED (
+
+# undirected (a < b) co-action user-edge CTEs — shared by the user-graph
+# components and PageRank oracles (SQL twin of graph._user_edges)
+_USER_EDGE_CTES = """
+grp AS MATERIALIZED (
   SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
     date_trunc('day', ts) AS day, user_id
   FROM events
@@ -315,19 +314,21 @@ e0 AS MATERIALIZED (
   SELECT DISTINCT x.user_id AS a, y.user_id AS b
   FROM grp x JOIN grp y ON x.k = y.k AND x.day = y.day
   WHERE x.user_id < y.user_id
-),
+)"""
+
+
+def q_graph_user_pagerank() -> str:
+    """Integer PageRank oracle over the symmetrized events co-action
+    user graph: same unrolled-MATERIALIZED power iteration as
+    q_graph_pagerank (_pr_tail), over the shared user-edge CTEs."""
+    return f"""
+WITH {_USER_EDGE_CTES.strip()},
 e AS MATERIALIZED (
   SELECT a AS src, b AS dst FROM e0
   UNION ALL
   SELECT b, a FROM e0
 ),
-nodes AS MATERIALIZED (
-  SELECT src AS entity FROM e UNION SELECT dst FROM e),
-od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
-pr0 AS MATERIALIZED (SELECT entity, {PR_UNIT}::BIGINT AS rank FROM nodes),
-{unrolled}
-SELECT entity, rank FROM {prev}
-"""
+{_pr_tail()}"""
 
 
 def q_graph_two_hop() -> str:
@@ -581,17 +582,8 @@ def q_graph_user_components() -> str:
     group => edge). Node count grows with sf (users: 15/150/1500 at
     sf0.001/0.01/0.1) — the sf-proportional graph evidence. Fixpoint =
     transitive closure + min, mirroring min_label_components."""
-    return """
-WITH RECURSIVE grp AS (
-  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-    date_trunc('day', ts) AS day, user_id
-  FROM events
-),
-e0 AS (
-  SELECT DISTINCT x.user_id AS a, y.user_id AS b
-  FROM grp x JOIN grp y ON x.k = y.k AND x.day = y.day
-  WHERE x.user_id < y.user_id
-),
+    return f"""
+WITH RECURSIVE {_USER_EDGE_CTES.strip()},
 edges AS (
   SELECT a AS src, b AS dst FROM e0
   UNION ALL

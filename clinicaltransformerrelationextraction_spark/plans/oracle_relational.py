@@ -263,9 +263,11 @@ LIMIT 100
 """
 
 
-def q_events_asof() -> str:
-    return """
-WITH u AS (
+# union-tag + carry-forward as-of CTEs (view sorts before simultaneous
+# click) — shared by the as-of join and funnel oracles, mirroring the
+# Spark side where q_events_funnel composes on q_events_asof
+_ASOF_CTES = """
+u AS (
   SELECT user_id, ts, 0 AS tag, event_id AS v_id, NULL::BIGINT AS c_id
   FROM events WHERE event_type = 'view'
   UNION ALL
@@ -281,7 +283,12 @@ carried AS (
   WINDOW w AS (PARTITION BY user_id
                ORDER BY ts, tag, coalesce(v_id, c_id)
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-)
+)"""
+
+
+def q_events_asof() -> str:
+    return f"""
+WITH {_ASOF_CTES.strip()}
 SELECT c_id AS click_event_id, user_id, ev_us AS click_us,
   asof_view_id, (ev_us - asof_view_us)::BIGINT AS lag_us
 FROM carried WHERE c_id IS NOT NULL
@@ -358,23 +365,7 @@ def q_events_funnel() -> str:
     from ..operators.relational import FUNNEL_WINDOW_US
 
     return f"""
-WITH u AS (
-  SELECT user_id, ts, 0 AS tag, event_id AS v_id, NULL::BIGINT AS c_id
-  FROM events WHERE event_type = 'view'
-  UNION ALL
-  SELECT user_id, ts, 1, NULL::BIGINT, event_id
-  FROM events WHERE event_type = 'click'
-),
-carried AS (
-  SELECT user_id, c_id, epoch_us(ts)::BIGINT AS ev_us,
-    last_value(v_id IGNORE NULLS) OVER w AS asof_view_id,
-    last_value(CASE WHEN v_id IS NOT NULL THEN epoch_us(ts)::BIGINT END
-               IGNORE NULLS) OVER w AS asof_view_us
-  FROM u
-  WINDOW w AS (PARTITION BY user_id
-               ORDER BY ts, tag, coalesce(v_id, c_id)
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-),
+WITH {_ASOF_CTES.strip()},
 clicks AS (
   SELECT epoch_us(date_trunc('day', make_timestamp(ev_us)))::BIGINT
            AS day_us,
