@@ -416,3 +416,32 @@ SELECT event_type, max(n)::BIGINT AS n,
   {picks}
 FROM ranked GROUP BY event_type
 """
+
+
+def q_events_retention() -> str:
+    from ..operators.relational import DAY_US
+
+    return f"""
+WITH days AS (
+  SELECT DISTINCT user_id,
+    epoch_us(date_trunc('day', ts))::BIGINT AS day_us
+  FROM events
+),
+first AS (
+  SELECT user_id, min(day_us)::BIGINT AS cohort_us FROM days GROUP BY 1
+),
+j AS (
+  SELECT f.cohort_us, f.user_id, d1.user_id AS u1, d7.user_id AS u7
+  FROM first f
+  LEFT JOIN days d1 ON d1.user_id = f.user_id
+    AND d1.day_us = f.cohort_us + {DAY_US}
+  LEFT JOIN days d7 ON d7.user_id = f.user_id
+    AND d7.day_us = f.cohort_us + {7 * DAY_US}
+)
+SELECT cohort_us, count(*)::BIGINT AS n_users,
+  count(u1)::BIGINT AS retained_d1,
+  count(u7)::BIGINT AS retained_d7,
+  ((count(u1) * 1000000) // count(*))::BIGINT AS rate_d1_micro,
+  ((count(u7) * 1000000) // count(*))::BIGINT AS rate_d7_micro
+FROM j GROUP BY cohort_us
+"""
