@@ -308,22 +308,21 @@ _WINDOW: list[str] = [
     "q_tpch_q6", "q_tpch_q10", "q_validate_rels", "q_loss_focal",
     "q_tpch_q18", "q_hll_distinct", "q_kmeans_centroids",
     "q_stratified_sample", "q_events_funnel", "q_events_percentiles",
-    "q_events_retention",
-    # round-2 tail rotation (19 entries: the 27-query r2 tail minus
-    # q_validate_rels, pinned above, and the seven slot-yields noted
+    "q_events_retention", "q_ngram_topk",
+    # round-2 tail rotation (18 entries: the 27-query r2 tail minus
+    # q_validate_rels, pinned above, and the eight slot-yields noted
     # below)
     "q_seeded_sample", "q_simhash", "q_simhash_band_pairs",
     "q_simhash_hamming_hist", "q_token_stats", "q_big_spenders",
     "q_custkey_setops", "q_customers_with_building_orders",
     # (q_distinct_labels / q_label_weights / q_event_type_pivot /
     # q_events_by_hour / q_events_by_value_band / q_json_props /
-    # q_part_strings yield their rotation slots to NEW queries above:
-    # all seven are r2-driver-green, code-unchanged,
+    # q_part_strings / q_lineitem_cube yield their rotation slots to NEW
+    # queries above: all eight are r2-driver-green, code-unchanged,
     # vocabulary-independent, and stay covered by the in-repo parity
     # suite + the full local sf0.01 drive)
     "q_customers_without_orders",
     "q_first_orders_per_customer", "q_fold_split",
-    "q_lineitem_cube",
     "q_revenue_by_region", "q_salted_agg", "q_top_orders", "q_tpch_q1",
     "q_tpch_q3", "q_tpch_q5", "q_union_priorities",
     # gazetteer-affected downstream (code unchanged, results changed;

@@ -12,6 +12,21 @@ EN_RATIO_MIN = 0.05
 BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
+def bigrams_expr(toks):
+    """In-row bigram shingle array of a token-array Column (empty for
+    docs under two tokens) — the shared shingle derivation for
+    fingerprints, both cardinality sketches, and the n-gram census."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions.util import ensure_parallelism
 
@@ -74,15 +89,7 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     toks = F.split("text", " ")
     bag = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = bigrams_expr(toks)
     min_shingle = F.array_min(F.transform(bigrams, F.md5))
     return d.select(
         "doc_id", bag.alias("bag_fp"), min_shingle.alias("min_shingle_fp")
@@ -110,15 +117,7 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _docs(spark, sf)
     toks = F.split("text", " ")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = bigrams_expr(toks)
     bg = d.select("lang", F.explode(bigrams).alias("shingle")).distinct()
     h = bg.select(
         "lang",
@@ -177,15 +176,7 @@ def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     the exact count rides along to pin accuracy, KMV-style."""
     d = _docs(spark, sf)
     toks = F.split("text", " ")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = bigrams_expr(toks)
     bg = d.select("lang", F.explode(bigrams).alias("shingle")).distinct()
     h = bg.select(
         "lang",
@@ -260,4 +251,34 @@ def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
         "lang", "n_docs",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+    )
+
+
+NGRAM_TOPK = 10
+
+
+def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-K bigrams per language — the corpus-analysis staple (what a
+    training-data pipeline runs to eyeball boilerplate/templating before
+    dedup thresholds are set): explode bigrams, one count shuffle on
+    (lang, bigram), then per-language top-K with a deterministic
+    tiebreak. The rank<=K filter keeps its map-side partial
+    WindowGroupLimit, so each task prunes to a local top-K before the
+    final per-language shuffle — at 10^12 docs the shuffle after the
+    count carries K*tasks rows per language, not the n-gram vocabulary."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf)
+    toks = F.split("text", " ")
+    bigrams = bigrams_expr(toks)
+    counts = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "bigram")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= NGRAM_TOPK)
+        .select("lang", "rank", "bigram", "n")
     )

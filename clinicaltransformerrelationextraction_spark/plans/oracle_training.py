@@ -686,3 +686,24 @@ SELECT lang, doc_id, rk, rank::INT AS rank FROM (
   FROM documents
 ) WHERE rank <= {STRAT_N}
 """
+
+
+def q_ngram_topk() -> str:
+    from ..operators.textstats import NGRAM_TOPK
+
+    return f"""
+WITH tl AS (SELECT lang, string_split(text, ' ') AS tl FROM documents),
+bg AS (
+  SELECT lang, tl[i] || ' ' || tl[i+1] AS bigram
+  FROM tl, UNNEST(range(1, len(tl))) r(i)
+  WHERE len(tl) >= 2
+),
+counts AS (
+  SELECT lang, bigram, count(*)::BIGINT AS n FROM bg GROUP BY 1, 2
+)
+SELECT lang, rank::INT AS rank, bigram, n FROM (
+  SELECT lang, bigram, n,
+    row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+  FROM counts
+) WHERE rank <= {NGRAM_TOPK}
+"""
