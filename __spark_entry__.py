@@ -295,7 +295,10 @@ def _q_segment_pages_pandas(spark: SparkSession, sf: str) -> DataFrame:
 # q_validate_rels re-plan, new q_loss_focal) + the 27-query tail that last
 # saw the driver in round 2. Outside the window: round-3-green queries
 # whose code is unchanged (they stay covered by the in-repo sf0.001 parity
-# suite and the full local sf0.01 verify drive).
+# suite and the full local sf0.01 verify drive) — with one shared-helper
+# exception: q_fingerprint/q_kmv_distinct now call bigrams_expr, whose
+# expression is verbatim-identical to their former inline copies and IS
+# driver-exercised through the in-window q_hll_distinct/q_ngram_topk.
 _WINDOW: list[str] = [
     # flagship pipeline (gazetteer-affected)
     "q_triples", "q_triples_uni", "q_candidates", "q_predictions",

@@ -671,42 +671,42 @@ def q_events_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention: users grouped by their first active day, with
     day-1 and day-7 return counts — the classic training-corpus /
     product-analytics cohort table. Shape: one distinct pass to per-user
-    active days, a min-aggregate for the cohort day, then two
-    at-most-one-row left joins back to the distinct day set (never a
-    range join; each join key is an exact epoch-micros day). Retention
-    ratios surface as exact integer micro-rates."""
+    active days, a min-aggregate for the cohort day, ONE join back to
+    the day set, then a conditional per-user aggregation that flags the
+    day-1/day-7 returns in the same pass — both aggregations reuse the
+    join's user_id partitioning, so the whole query costs two shuffles
+    (never a range join; every comparison is an exact epoch-micros day).
+    Retention ratios surface as exact integer micro-rates."""
     ev = _t(spark, sf, "events")
     days = ev.select(
         "user_id",
         F.unix_micros(
             F.date_trunc("day", F.col("ts").cast("timestamp"))
         ).alias("day_us"),
-    ).distinct().localCheckpoint()
+    ).distinct()
     first = days.groupBy("user_id").agg(F.min("day_us").alias("cohort_us"))
-    d1 = days.select(
-        F.col("user_id").alias("u1"), F.col("day_us").alias("day1")
-    )
-    d7 = days.select(
-        F.col("user_id").alias("u7"), F.col("day_us").alias("day7")
-    )
-    joined = (
-        first.join(
-            d1,
-            (F.col("user_id") == F.col("u1"))
-            & (F.col("day1") == F.col("cohort_us") + F.lit(DAY_US)),
-            "left",
-        )
-        .join(
-            d7,
-            (F.col("user_id") == F.col("u7"))
-            & (F.col("day7") == F.col("cohort_us") + F.lit(7 * DAY_US)),
-            "left",
+    per_user = (
+        days.join(first, "user_id")
+        .groupBy("user_id", "cohort_us")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("day_us") == F.col("cohort_us") + F.lit(DAY_US), 1
+                ).otherwise(0)
+            ).alias("r1"),
+            F.max(
+                F.when(
+                    F.col("day_us")
+                    == F.col("cohort_us") + F.lit(7 * DAY_US),
+                    1,
+                ).otherwise(0)
+            ).alias("r7"),
         )
     )
-    return joined.groupBy("cohort_us").agg(
+    return per_user.groupBy("cohort_us").agg(
         F.count("*").alias("n_users"),
-        F.count("u1").alias("retained_d1"),
-        F.count("u7").alias("retained_d7"),
+        F.sum("r1").alias("retained_d1"),
+        F.sum("r7").alias("retained_d7"),
     ).select(
         "cohort_us", "n_users", "retained_d1", "retained_d7",
         F.expr("(retained_d1 * 1000000) div n_users").alias("rate_d1_micro"),
