@@ -289,50 +289,47 @@ def _q_segment_pages_pandas(spark: SparkSession, sf: str) -> DataFrame:
 # dict-insertion order. _WINDOW pins those 50 explicitly (the r3 advice:
 # every query whose implementation changed in the current round must sit
 # inside the window, plus rotation so that cumulative driver evidence
-# covers all queries). Round-4 window = flagship pipeline (the enlarged
-# gazetteer changed every downstream result) + the de-vacuated/changed
-# queries (q_tpch_q6/q10, graph two-hop/triangles, user components,
-# q_validate_rels re-plan, new q_loss_focal) + the 27-query tail that last
-# saw the driver in round 2. Outside the window: round-3-green queries
-# whose code is unchanged (they stay covered by the in-repo sf0.001 parity
-# suite and the full local sf0.01 verify drive) — with one shared-helper
-# exception: q_fingerprint/q_kmv_distinct now call bigrams_expr, whose
-# expression is verbatim-identical to their former inline copies and IS
-# driver-exercised through the in-window q_hll_distinct/q_ngram_topk.
+# covers all queries). Round-5 window = the complete evidence-staleness
+# sweep: BOTH queries with no green driver row in any round
+# (q_kmeans_centroids — r4-red on its array output, now exploded to
+# scalars; q_graph_components_star — new in r4 but left outside its own
+# round's window, the r4 verdict's contract violation), ALL 8 queries
+# whose last driver row is round 2, ALL 30 whose last driver row is
+# round 3, plus this round's changed queries (q_dedup_clusters's
+# propagation, star convergence, IVF nprobe plumbing — already inside the
+# r3 block) and 10 current-evidence anchors: the 7-query flagship
+# pipeline and the three core-graph queries (q_graph_components doubles
+# as the same-oracle twin of the star variant, so both components
+# algorithms get same-round rows). After this round every registered
+# query has driver evidence from round 4 or 5. Outside the window: only
+# round-4-green queries whose code is unchanged (covered by the in-repo
+# sf0.001 parity suite and the full local sf0.01 verify drive).
 _WINDOW: list[str] = [
-    # flagship pipeline (gazetteer-affected)
+    # flagship pipeline (current anchors)
     "q_triples", "q_triples_uni", "q_candidates", "q_predictions",
     "q_mentions", "q_sentences", "q_binary_triples",
-    # graph layer (two changed + one new; all gazetteer-affected)
-    "q_graph_degree", "q_graph_two_hop", "q_graph_pagerank",
-    "q_graph_components", "q_graph_triangles", "q_graph_user_components",
-    "q_graph_user_pagerank",
-    # de-vacuated / re-planned / new this round
-    "q_tpch_q6", "q_tpch_q10", "q_validate_rels", "q_loss_focal",
-    "q_tpch_q18", "q_hll_distinct", "q_kmeans_centroids",
-    "q_stratified_sample", "q_events_funnel", "q_events_percentiles",
-    "q_events_retention", "q_ngram_topk",
-    # round-2 tail rotation (18 entries: the 27-query r2 tail minus
-    # q_validate_rels, pinned above, and the eight slot-yields noted
-    # below)
-    "q_seeded_sample", "q_simhash", "q_simhash_band_pairs",
-    "q_simhash_hamming_hist", "q_token_stats", "q_big_spenders",
-    "q_custkey_setops", "q_customers_with_building_orders",
-    # (q_distinct_labels / q_label_weights / q_event_type_pivot /
-    # q_events_by_hour / q_events_by_value_band / q_json_props /
-    # q_part_strings / q_lineitem_cube yield their rotation slots to NEW
-    # queries above: all eight are r2-driver-green, code-unchanged,
-    # vocabulary-independent, and stay covered by the in-repo parity
-    # suite + the full local sf0.01 drive)
-    "q_customers_without_orders",
-    "q_first_orders_per_customer", "q_fold_split",
-    "q_revenue_by_region", "q_salted_agg", "q_top_orders", "q_tpch_q1",
-    "q_tpch_q3", "q_tpch_q5", "q_union_priorities",
-    # gazetteer-affected downstream (code unchanged, results changed;
-    # q_tokenized_uni yielded its slot to q_kmeans_centroids — its sep
-    # twin q_tokenized_features stays and drives the same tokenizer)
-    "q_triples_linked", "q_rel_stats", "q_tokenized_features",
-    "q_brat_render", "q_eval_prf", "q_micro_prf",
+    # never-driver-green: the r4 red row (output reshaped this round) and
+    # the r4 window-rule miss, pinned with its same-oracle min-label twin
+    "q_kmeans_centroids", "q_graph_components_star", "q_graph_components",
+    # graph anchors (pagerank exercises the shared integer_pagerank; the
+    # degree query is the cheapest edge-table canary)
+    "q_graph_pagerank", "q_graph_degree",
+    # last-driver-row-round-2 (all 8)
+    "q_distinct_labels", "q_label_weights", "q_event_type_pivot",
+    "q_events_by_hour", "q_events_by_value_band", "q_json_props",
+    "q_part_strings", "q_lineitem_cube",
+    # last-driver-row-round-3 (all 30; includes this round's changed
+    # q_dedup_clusters / q_ann_ivf_topk)
+    "q_ann_ivf_topk", "q_ann_lsh_buckets", "q_ann_topk",
+    "q_corpus_clean", "q_dedup_clusters", "q_dedup_exact",
+    "q_dedup_jaccard", "q_dedup_minhash_pairs", "q_deid",
+    "q_embed_neardup", "q_embed_neardup_lsh", "q_events_asof",
+    "q_events_rollup", "q_events_sessions", "q_fingerprint",
+    "q_kmv_distinct", "q_label_centroid_sim", "q_lang_id",
+    "q_loss_mean", "q_loss_weighted", "q_macro_prf",
+    "q_minhash_signatures", "q_multimodal_features", "q_multimodal_meta",
+    "q_prf_by_type", "q_quality", "q_segment_pages_pandas",
+    "q_span_eval_lenient", "q_span_eval_strict", "q_tokenized_uni",
 ]
 
 

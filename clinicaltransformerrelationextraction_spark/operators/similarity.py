@@ -374,8 +374,9 @@ def q_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
     corpus), the update is one map-side-combinable groupBy per round, and
     lineage is cut per round (localCheckpoint) exactly like PageRank.
     The DuckDB oracle unrolls the KM_ITERS rounds as MATERIALIZED CTEs.
-    Output: final centroids with member counts of the assignment that
-    produced them."""
+    Output: final centroids (exploded to scalar (cid, n_members, dim, cv)
+    rows — the driver-canonicalizer contract forbids array columns) with
+    member counts of the assignment that produced them."""
     from pyspark.sql import Window
 
     vecs = _q(spark, sf).localCheckpoint()
@@ -403,4 +404,12 @@ def q_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
         dims = asg.select("cid", F.posexplode("qe").alias("dim", "v"))
         cent = int_mean_centroid(dims, "cid").localCheckpoint()
     counts = asg.groupBy("cid").agg(F.count("*").alias("n_members"))
-    return cent.join(counts, "cid").select("cid", "n_members", "centroid")
+    # Scalar-only output contract: the external driver canonicalizes
+    # results through pandas and cannot hash list cells, so the centroid
+    # vector is exploded to one (dim, cv) row per dimension instead of an
+    # array<long> column (the r4 red-row lesson; see
+    # tests/test_output_shapes.py which forbids container columns).
+    return (
+        cent.join(counts, "cid")
+        .select("cid", "n_members", F.posexplode("centroid").alias("dim", "cv"))
+    )

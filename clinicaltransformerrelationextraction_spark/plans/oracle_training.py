@@ -664,11 +664,12 @@ c{k} AS MATERIALIZED (
 WITH {_QE.strip()}, {_CENT.strip()},
 c0 AS MATERIALIZED (SELECT label AS cid, centroid FROM cent),
 {unrolled}
-SELECT c.cid, n.n_members, c.centroid
+SELECT c.cid, n.n_members, (d.i - 1)::INT AS dim,
+  c.centroid[d.i]::BIGINT AS cv
 FROM {prev} c JOIN (
   SELECT cid, count(*)::BIGINT AS n_members
   FROM a{KM_ITERS} GROUP BY cid
-) n USING (cid)
+) n USING (cid), UNNEST(range(1, len(c.centroid) + 1)) d(i)
 """
 
 
