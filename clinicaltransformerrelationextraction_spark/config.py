@@ -97,6 +97,13 @@ ENTP2REL: dict[tuple[str, str], str] = {
     ("Duration", "Drug"): "reason",
 }
 
+# --- ANN/IVF defaults --------------------------------------------------------
+# cells each IVF query probes (recall/scan-scope dial; the measured
+# recall@10 curve lives at operators/similarity.py N_PROBE). Single source
+# of truth for the Spark query default, the DuckDB oracle twin, and
+# PipelineConfig.ann_nprobe.
+ANN_NPROBE = 4
+
 # --- marker tokens (readme.md:35-51) -----------------------------------------
 S1_OPEN, S1_CLOSE = "[s1]", "[e1]"
 S2_OPEN, S2_CLOSE = "[s2]", "[e2]"
@@ -132,3 +139,6 @@ class PipelineConfig:
     # (reference --data_format_mode, src/task.py:41-49) — routes both the
     # tokenizer AND the scorer input encoding
     data_format_mode: int = 0
+    # IVF ANN: cells probed per query — the recall/cost dial (see
+    # operators/similarity.py for the measured recall curve)
+    ann_nprobe: int = ANN_NPROBE

@@ -212,7 +212,19 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     (pairs of template-mutated docs), so this converges in 1-3 rounds
     here; at 10^9 docs you would switch to the large-star/small-star
     contraction (same join primitive, O(log n) rounds). The DuckDB oracle
-    computes the same fixpoint as a recursive transitive closure + min."""
+    computes the same fixpoint as a recursive transitive closure + min.
+
+    Profiled at sf0.1 (round 5): the propagation converges in 2 rounds
+    totalling ~1.6 s of the ~6.3 s query — the iteration floor is NOT the
+    cost; the LSH pair derivation + Jaccard verify subtree is (~4.9 s,
+    genuine signature work). Two measured dead-ends, do not retry:
+    (a) switching propagation to star_components cannot help — 2 rounds
+    is already below star's per-round constant; (b) semi-joining the
+    corpus down to candidate-pair docs before the verify's shingle
+    recompute LOSES (clusters 6.2 -> 8.8 s): on this template-generated
+    corpus ~96% of docs appear in some LSH candidate pair, so the
+    restriction saves nothing and checkpointing the restricted shingle
+    arrays serializes what the inline projection pipelines for free."""
     # materialize the verified pair table ONCE before it is referenced
     # twice by the symmetric union below — without this the whole
     # LSH+jaccard subtree executes per union branch (measured ~2x). At

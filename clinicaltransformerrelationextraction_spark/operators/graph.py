@@ -9,6 +9,8 @@ entity-level, not mention-level.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -253,11 +255,37 @@ def star_components(und: DataFrame) -> DataFrame:
     stars child -> component-min. Output schema matches
     :func:`min_label_components` (entity, component, is_root) and the
     two algorithms agree exactly (pytest-pinned), so this reuses the
-    recursive-CTE components oracle unchanged."""
+    recursive-CTE components oracle unchanged.
+
+    Convergence is detected from a single aggregate pass per round —
+    (edge count, sum of per-edge xxhash64) — instead of two full
+    ``exceptAll`` set comparisons: the previous round's fingerprint is
+    carried over, so stability costs one scan of the new edge set, not
+    three. The fingerprint equality is probabilistic only in the
+    sum-of-64-bit-hashes sense (a same-count different-set round would
+    need hash sums to collide); the exact pytest pin against
+    min_label_components on path/hub/clique/random graphs guards the
+    logic. Rounds are capped at 2*ceil(log2 n) + 4 — the paper's O(log n)
+    bound with margin — and a regression that stops the edge set from
+    contracting raises instead of hanging the suite/driver."""
     edges = _symmetrize(und).distinct().localCheckpoint()
     nodes = edges.select(F.col("src").alias("entity")).distinct() \
         .localCheckpoint()
-    while True:
+
+    def _fingerprint(df: DataFrame):
+        # decimal(38,0) accumulator: a bigint sum of 64-bit hashes
+        # overflows ANSI long arithmetic after a handful of edges
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    n_nodes = max(nodes.count(), 2)
+    max_rounds = 2 * math.ceil(math.log2(n_nodes)) + 4
+    prev_fp = _fingerprint(edges)
+    star = None
+    for _round in range(max_rounds):
         # large-star: (v, m(u)) for v in N(u), v > u
         nmin = edges.groupBy("src").agg(
             F.least(F.min("dst"), F.first("src")).alias("m")
@@ -288,13 +316,19 @@ def star_components(und: DataFrame) -> DataFrame:
         sym = ss.unionByName(
             ss.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct().localCheckpoint()
-        if (
-            sym.exceptAll(edges).limit(1).count() == 0
-            and edges.exceptAll(sym).limit(1).count() == 0
-        ):
+        fp = _fingerprint(sym)
+        if fp == prev_fp:
             star = ss
             break
+        prev_fp = fp
         edges = sym
+    if star is None:
+        raise RuntimeError(
+            f"star_components did not converge in {max_rounds} rounds "
+            f"(n_nodes={n_nodes}); the large-star/small-star contraction "
+            "should need at most O(log n) rounds — this indicates a "
+            "regression in the contraction steps, not a data property"
+        )
     labels = nodes.join(
         star.select(
             F.col("src").alias("entity"), F.col("dst").alias("component")

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..config import STUB_W2, STUB_W3, PipelineConfig
+from ..config import SPEC_TAGS, STUB_W2, STUB_W3, PipelineConfig
 
 __all__ = [
     "score_candidates", "stub_logits", "truncate_pair",
@@ -188,6 +188,40 @@ def _make_mlp_scorer(cfg: PipelineConfig, labels: list[str]):
     return scorer
 
 
+def hf_add_marker_tokens(tok) -> int:
+    """Grow a HF tokenizer's vocabulary with the four entity-marker
+    tokens (config.SPEC_TAGS; reference src/task.py:192-196 adds the same
+    markers before resizing embeddings). Pure wiring — works against any
+    object with ``add_tokens`` — so the vocabulary-addition half of the
+    hf backend is testable without the transformers wheel. Returns the
+    tokenizer's reported count of newly added tokens."""
+    return tok.add_tokens(list(SPEC_TAGS))
+
+
+def hf_encode_args(s1_marked, s2_marked, data_format_mode: int,
+                   max_seq_len: int):
+    """Pure assembly of the HF tokenizer invocation for one Arrow batch —
+    ``(args, kwargs)`` such that the scorer calls ``tok(*args,
+    **kwargs)``. Factored out of the env-gated hf backend so sequence
+    assembly and truncation wiring are covered by tests that run without
+    torch/transformers:
+
+    - sep mode (data_format_mode=0): the pair form ``tok(s1_list,
+      s2_list)`` -> [CLS] s1 [SEP] s2 [SEP] (reference src/task.py:41-49)
+    - uni mode (data_format_mode=1): one concatenated sequence ->
+      [CLS] s1 s2 [SEP] (reference src/data_utils.py:58-88)
+    - both: truncation on at ``max_seq_len`` (the U2 token budget),
+      padded tensors."""
+    kwargs = dict(
+        truncation=True, max_length=max_seq_len, padding=True,
+        return_tensors="pt",
+    )
+    if data_format_mode == 1:
+        texts = [a + " " + b for a, b in zip(s1_marked, s2_marked)]
+        return (texts,), kwargs
+    return (list(s1_marked), list(s2_marked)), kwargs
+
+
 def _make_hf_scorer(cfg: PipelineConfig):  # pragma: no cover - env-gated
     try:
         import torch  # noqa: F401
@@ -210,7 +244,7 @@ def _make_hf_scorer(cfg: PipelineConfig):  # pragma: no cover - env-gated
     def scorer(pdf: pd.DataFrame):
         if "model" not in _cache:
             tok = AutoTokenizer.from_pretrained(cfg.scorer_model_path)
-            tok.add_tokens(["[s1]", "[e1]", "[s2]", "[e2]"])
+            hf_add_marker_tokens(tok)
             model = AutoModelForSequenceClassification.from_pretrained(
                 cfg.scorer_model_path)
             model.resize_token_embeddings(len(tok))
@@ -218,18 +252,11 @@ def _make_hf_scorer(cfg: PipelineConfig):  # pragma: no cover - env-gated
             _cache["tok"], _cache["model"] = tok, model
         import torch
         tok, model = _cache["tok"], _cache["model"]
-        if cfg.data_format_mode == 1:
-            # uni mode: single sequence [CLS] s1 s2 [SEP]
-            texts = [
-                a + " " + b
-                for a, b in zip(pdf["s1_marked"], pdf["s2_marked"])
-            ]
-            enc = tok(texts, truncation=True, max_length=cfg.max_seq_len,
-                      padding=True, return_tensors="pt")
-        else:
-            enc = tok(list(pdf["s1_marked"]), list(pdf["s2_marked"]),
-                      truncation=True, max_length=cfg.max_seq_len,
-                      padding=True, return_tensors="pt")
+        args, kwargs = hf_encode_args(
+            pdf["s1_marked"], pdf["s2_marked"],
+            cfg.data_format_mode, cfg.max_seq_len,
+        )
+        enc = tok(*args, **kwargs)
         with torch.no_grad():
             logits = model(**enc).logits.numpy()
         idx = logits.argmax(axis=1)

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..config import ANN_NPROBE, PipelineConfig
+
 QUANT = 10_000_000
 N_PLANES = 16
 TOPK = 10
@@ -217,21 +219,30 @@ def _centroids(spark: SparkSession, sf: str) -> DataFrame:
 # cells each query probes — IVF's recall/scan-scope dial. Measured curve
 # on the test corpus (10 cells, recall@10 vs brute): nprobe 1 -> 0.125,
 # 3 -> 0.50, 4 -> 0.65, 5 -> 0.71, 6 -> 0.81, 10 -> 1.0 (the synthetic
-# clusters are loose, so cross-cell neighbors are common).
-N_PROBE = 4
+# clusters are loose, so cross-cell neighbors are common). The default
+# lives in config.ANN_NPROBE (PipelineConfig.ann_nprobe is the runtime
+# dial); this module-level alias keeps the oracle twin and historical
+# imports on the same value.
+N_PROBE = ANN_NPROBE
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+def q_ann_ivf_topk(
+    spark: SparkSession, sf: str, cfg: PipelineConfig | None = None
+) -> DataFrame:
     """IVF (coarse-quantizer) ANN: every vector — corpus AND query — is
     assigned to its nearest centroid cell (label centroids as the
-    codebook); each query then searches only its N_PROBE closest cells for
-    the top-k by exact fixed-point cosine. The scale path complementary to
-    the hyperplane-LSH variant: the cell id becomes a partition column at
-    100 TB, so a query scans nprobe partitions instead of the corpus.
-    Recall vs the brute top-k is measured in tests (IVF's standard
+    codebook); each query then searches only its nprobe closest cells
+    (``PipelineConfig.ann_nprobe``; default config.ANN_NPROBE — the
+    oracle twin mirrors the default, so parity runs leave ``cfg`` unset)
+    for the top-k by exact fixed-point cosine. The scale path
+    complementary to the hyperplane-LSH variant: the cell id becomes a
+    partition column at 100 TB, so a query scans nprobe partitions
+    instead of the corpus. Recall vs the brute top-k is floor-asserted in
+    tests at the default and measured across the dial (IVF's standard
     trade-off)."""
     from pyspark.sql import Window
 
+    nprobe = (cfg or PipelineConfig()).ann_nprobe
     q = _q(spark, sf)
     cents = _centroids(spark, sf)
     # nearest-centroid assignment: tiny codebook crossJoin, rank by cosine
@@ -253,7 +264,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     qs = (
         assigned.filter(
-            (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= N_PROBE)
+            (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= nprobe)
         )
         .select(
             F.col("vec_id").alias("query_id"), F.col("qe").alias("qv"),

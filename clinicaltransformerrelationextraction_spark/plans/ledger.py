@@ -147,8 +147,21 @@ def _write_text(path: str, text: str) -> None:
         # to the pre-existing two-call replace — non-atomic (a reader can
         # hit the gap), but functional. Any other failure (missing tmp,
         # store error) must propagate: entering the fallback on it could
-        # delete the good ledger and then fail the rename.
-        if "UnsupportedFileSystemException" not in str(ex):
+        # delete the good ledger and then fail the rename. Identify the
+        # gap by the JAVA EXCEPTION CLASS when Py4J exposes it — message
+        # substrings drift across Hadoop versions and Py4J wrapping could
+        # route a real store error into the destructive fallback; the
+        # substring probe remains only for exceptions with no java_exception
+        # attribute (plain Python errors from the gateway itself).
+        jex = getattr(ex, "java_exception", None)
+        if jex is not None:
+            try:
+                cls = jex.getClass().getName()
+            except Exception:
+                cls = ""
+            if not cls.endswith("UnsupportedFileSystemException"):
+                raise
+        elif "UnsupportedFileSystemException" not in str(ex):
             raise
         if fs.exists(hp):
             fs.delete(hp, False)

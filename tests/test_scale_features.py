@@ -190,3 +190,33 @@ def test_ann_ivf_recall_vs_brute(spark):
             assert abs(want[n] - got[n]) < 1e-12
     recall = hits / total
     assert recall >= 0.6, recall  # measured 0.65 at N_PROBE=4 of 10 cells
+
+
+def test_ann_ivf_nprobe_dial(spark):
+    """PipelineConfig.ann_nprobe is the IVF recall/cost dial: probing
+    every cell must reproduce the brute top-k EXACTLY (IVF with full
+    probe scope is exhaustive search), and recall must be monotone
+    non-decreasing in nprobe."""
+    from clinicaltransformerrelationextraction_spark.config import PipelineConfig
+    from clinicaltransformerrelationextraction_spark.operators.similarity import (
+        q_ann_ivf_topk,
+        q_ann_topk,
+    )
+
+    brute = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in q_ann_topk(spark, SF_SMOKE).collect()
+    }
+
+    def recall_at(nprobe: int) -> float:
+        cfg = PipelineConfig(ann_nprobe=nprobe)
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in q_ann_ivf_topk(spark, SF_SMOKE, cfg).collect()
+        }
+        return len(ivf & set(brute)) / len(brute)
+
+    r1, r4, r10 = recall_at(1), recall_at(4), recall_at(10)
+    assert r10 == 1.0, r10  # full probe scope == exhaustive
+    assert r1 <= r4 <= r10, (r1, r4, r10)
+    assert r1 < 1.0, "nprobe=1 recalling everything means the dial is dead"
