@@ -297,13 +297,14 @@ def _q_segment_pages_pandas(spark: SparkSession, sf: str) -> DataFrame:
 # whose last driver row is round 2, ALL 30 whose last driver row is
 # round 3, plus this round's changed queries (q_dedup_clusters's
 # propagation, star convergence, IVF nprobe plumbing — already inside the
-# r3 block) and 10 current-evidence anchors: the 7-query flagship
-# pipeline and the three core-graph queries (q_graph_components doubles
-# as the same-oracle twin of the star variant, so both components
-# algorithms get same-round rows). After this round every registered
-# query has driver evidence from round 4 or 5. Outside the window: only
-# round-4-green queries whose code is unchanged (covered by the in-repo
-# sf0.001 parity suite and the full local sf0.01 verify drive).
+# r3 block), the two queries NEW this round (q_tfidf_topk,
+# q_pages_latest), and 8 current-evidence anchors: the 7-query flagship
+# pipeline and q_graph_components (the same-oracle twin of the star
+# variant, so both components algorithms get same-round rows). After
+# this round every registered query has driver evidence from round 4 or
+# 5. Outside the window: only round-4-green queries whose code is
+# unchanged (covered by the in-repo sf0.001 parity suite and the full
+# local sf0.01 verify drive).
 _WINDOW: list[str] = [
     # flagship pipeline (current anchors)
     "q_triples", "q_triples_uni", "q_candidates", "q_predictions",
@@ -311,9 +312,10 @@ _WINDOW: list[str] = [
     # never-driver-green: the r4 red row (output reshaped this round) and
     # the r4 window-rule miss, pinned with its same-oracle min-label twin
     "q_kmeans_centroids", "q_graph_components_star", "q_graph_components",
-    # graph anchors (pagerank exercises the shared integer_pagerank; the
-    # degree query is the cheapest edge-table canary)
-    "q_graph_pagerank", "q_graph_degree",
+    # new this round: TF-IDF keyword extraction + latest-crawl-per-url
+    # snapshot dedup (displacing the q_graph_pagerank/q_graph_degree
+    # anchors, both r4-green and unchanged)
+    "q_tfidf_topk", "q_pages_latest",
     # last-driver-row-round-2 (all 8)
     "q_distinct_labels", "q_label_weights", "q_event_type_pivot",
     "q_events_by_hour", "q_events_by_value_band", "q_json_props",

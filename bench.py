@@ -322,10 +322,15 @@ def run_scaling() -> dict:
     # drifts +-15% minute-to-minute, so measuring each level once at
     # different times turns that drift straight into the efficiency
     # number; alternating N/4N/N/4N and pairing WITHIN a round samples
-    # both levels under comparable host conditions
-    for _ in range(rounds):
+    # both levels under comparable host conditions. The ORDER of the two
+    # legs also alternates round-to-round (8,32 / 32,8 / ...): with a
+    # fixed order, a monotone drift during each round biases every pair
+    # the same way (the r4-B 0.788 invocation was one leg catching an
+    # uncommonly clean window); alternating the order makes that bias
+    # cancel across pairs instead of accumulating
+    for _r in range(rounds):
         pair = {}
-        for cpus in levels:
+        for cpus in (levels if _r % 2 == 0 else list(reversed(levels))):
             # pin the WHOLE process tree (JVM task threads + Python UDF
             # workers) to exactly `cpus` cores — otherwise local[8]'s
             # Python workers overflow onto spare cores and the 8-core

@@ -399,3 +399,54 @@ def q_simhash_hamming_hist(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("hamming")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# crawl-snapshot dedup: synthetic recrawl fan-in (docs per url) and a
+# deterministic NON-monotone crawl timestamp so "latest" is a real
+# argmax over timestamps, not just max(doc_id)
+RECRAWL_FANOUT = 3
+CRAWL_TS_BASE_US = 1_700_000_000_000_000  # epoch microseconds
+CRAWL_TS_MIX = 7919  # prime multiplier; ts = BASE + (doc_id*MIX) % MOD
+CRAWL_TS_MOD = 100_000
+
+
+def q_pages_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest-crawl-per-url snapshot dedup — the first operator any
+    Common-Crawl-style ingest runs (the north-rule pages shape carries
+    (url, warc_ts, ...) and a url recurs once per crawl): group the crawl
+    log by url and keep the most recent capture. Recrawls are synthesized
+    deterministically (RECRAWL_FANOUT docs share a url; the capture
+    timestamp is a prime-mixed permutation of doc_id so the latest
+    capture is NOT the max doc_id) and timestamps are compared as epoch-
+    microsecond BIGINTs (the cross-engine-exact timestamp discipline).
+
+    Scale shape: ONE map-side-combinable groupBy on url —
+    max(struct(ts, doc_id)) is an ordinary aggregate, so each task
+    reduces its partition to one candidate row per url before the
+    shuffle; no window, no self-join, and url skew (a hot domain) is
+    bounded by the combine. The struct max implements the
+    (ts DESC, doc_id DESC) tiebreak the oracle's row_number mirrors."""
+    docs = _docs(spark, sf)
+    pages = docs.select(
+        F.concat(
+            F.lit("doc://"),
+            F.expr(f"doc_id div {RECRAWL_FANOUT}").cast("string"),
+        ).alias("url"),
+        "doc_id",
+        (
+            F.lit(CRAWL_TS_BASE_US).cast("long")
+            + (F.col("doc_id") * CRAWL_TS_MIX) % CRAWL_TS_MOD
+        ).alias("ts_us"),
+    )
+    return (
+        pages.groupBy("url")
+        .agg(
+            F.count("*").alias("n_crawls"),
+            F.max(F.struct("ts_us", "doc_id")).alias("m"),
+        )
+        .select(
+            "url", "n_crawls",
+            F.col("m.ts_us").alias("latest_ts_us"),
+            F.col("m.doc_id").alias("latest_doc_id"),
+        )
+    )

@@ -265,9 +265,11 @@ def star_components(und: DataFrame) -> DataFrame:
     sum-of-64-bit-hashes sense (a same-count different-set round would
     need hash sums to collide); the exact pytest pin against
     min_label_components on path/hub/clique/random graphs guards the
-    logic. Rounds are capped at 2*ceil(log2 n) + 4 — the paper's O(log n)
-    bound with margin — and a regression that stops the edge set from
-    contracting raises instead of hanging the suite/driver."""
+    logic. Rounds are capped at (ceil(log2 n) + 2)^2 — the PROVEN bound
+    for the alternating contraction is O(log^2 n) (Kiveris et al. §3;
+    the empirically observed behavior is ~log n), so the cap follows the
+    proven shape with margin — and exceeding it raises instead of
+    hanging the suite/driver."""
     edges = _symmetrize(und).distinct().localCheckpoint()
     nodes = edges.select(F.col("src").alias("entity")).distinct() \
         .localCheckpoint()
@@ -282,7 +284,7 @@ def star_components(und: DataFrame) -> DataFrame:
         return (row["n"], row["h"])
 
     n_nodes = max(nodes.count(), 2)
-    max_rounds = 2 * math.ceil(math.log2(n_nodes)) + 4
+    max_rounds = (math.ceil(math.log2(n_nodes)) + 2) ** 2
     prev_fp = _fingerprint(edges)
     star = None
     for _round in range(max_rounds):
@@ -325,9 +327,12 @@ def star_components(und: DataFrame) -> DataFrame:
     if star is None:
         raise RuntimeError(
             f"star_components did not converge in {max_rounds} rounds "
-            f"(n_nodes={n_nodes}); the large-star/small-star contraction "
-            "should need at most O(log n) rounds — this indicates a "
-            "regression in the contraction steps, not a data property"
+            f"(n_nodes={n_nodes}); the alternating large-star/small-star "
+            "contraction is proven to finish in O(log^2 n) rounds and "
+            "empirically finishes in ~log n, so this most likely means a "
+            "regression in the contraction steps; if the input is valid "
+            "and genuinely this slow to contract, use "
+            "min_label_components or raise the cap"
         )
     labels = nodes.join(
         star.select(

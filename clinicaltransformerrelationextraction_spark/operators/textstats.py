@@ -282,3 +282,59 @@ def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= NGRAM_TOPK)
         .select("lang", "rank", "bigram", "n")
     )
+
+
+TFIDF_TOPK = 5
+
+
+def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-K salient terms by TF x integer-log2 IDF — the
+    keyword-extraction staple of a training-data pipeline (what feeds
+    topic balancing and boilerplate diagnostics), kept hash-exact across
+    engines by replacing the usual ln(N/df) with its integer-exact bit
+    twin:
+
+        idf_log2(term) = bit_length(N div df) = floor(log2(N/df)) + 1
+
+    computed as length(bin(x)) on Spark / length(printf('%b', x)) on
+    DuckDB — the same cross-engine trick the HLL rho uses. A term in
+    every doc scores idf 1 (not 0): rank order within a doc is what the
+    query is for, and a floor of 1 keeps tf as the tiebreak signal among
+    ubiquitous terms. score = tf * idf_log2, all BIGINT.
+
+    Scale shape: two count shuffles (per-(doc,term) tf, per-term df) +
+    one doc-partitioned top-K window whose rank<=K keeps the partial
+    WindowGroupLimit (each task prunes to a local top-K before the
+    shuffle). The document-count scalar joins in as a broadcast 1-row
+    aggregate, never a driver collect. The df side of the tf-df join is
+    the term vocabulary — orders of magnitude smaller than the tf table
+    but NOT broadcast-hinted (a 10^12-doc vocabulary can be huge; AQE
+    decides at runtime)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf)
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    idf = F.length(F.bin(F.expr("n_docs div df"))).cast("long")
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", "tf",
+            idf.alias("idf_log2"),
+            (F.col("tf") * idf).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "idf_log2", "score", "rank")
+    )

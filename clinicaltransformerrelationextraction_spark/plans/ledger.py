@@ -155,11 +155,22 @@ def _write_text(path: str, text: str) -> None:
         # attribute (plain Python errors from the gateway itself).
         jex = getattr(ex, "java_exception", None)
         if jex is not None:
+            # walk the CAUSE CHAIN, not just the outer class: filesystem
+            # layers commonly re-wrap (e.g. inside an IOException), and
+            # the old substring probe matched cause text in the rendered
+            # traceback — the class check must not be narrower than that
+            names, seen = [], 0
             try:
-                cls = jex.getClass().getName()
+                cur = jex
+                while cur is not None and seen < 16:
+                    names.append(cur.getClass().getName())
+                    cur = cur.getCause()
+                    seen += 1
             except Exception:
-                cls = ""
-            if not cls.endswith("UnsupportedFileSystemException"):
+                pass
+            if not any(
+                n.endswith("UnsupportedFileSystemException") for n in names
+            ):
                 raise
         elif "UnsupportedFileSystemException" not in str(ex):
             raise

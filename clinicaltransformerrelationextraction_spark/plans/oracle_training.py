@@ -708,3 +708,66 @@ SELECT lang, rank::INT AS rank, bigram, n FROM (
   FROM counts
 ) WHERE rank <= {NGRAM_TOPK}
 """
+
+
+def q_tfidf_topk() -> str:
+    """TF x integer-log2-IDF top-K oracle (operators/textstats.py
+    q_tfidf_topk): idf_log2 = length of the binary rendering of
+    N div df — DuckDB printf('%b') is the twin of Spark bin()."""
+    from ..operators.textstats import TFIDF_TOPK
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT f.doc_id, f.term, f.tf,
+    length(printf('%b', n.n_docs // d.df))::BIGINT AS idf_log2,
+    (f.tf * length(printf('%b', n.n_docs // d.df)))::BIGINT AS score
+  FROM tf f JOIN dft d USING (term) CROSS JOIN nd n
+)
+SELECT doc_id, term, tf, idf_log2, score, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term
+  ) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOPK}
+"""
+
+
+def q_pages_latest() -> str:
+    """Latest-crawl-per-url oracle (operators/dedup.py q_pages_latest):
+    same synthetic recrawl derivation, row_number over (ts DESC, doc_id
+    DESC) in place of Spark's map-side-combinable max(struct)."""
+    from ..operators.dedup import (
+        CRAWL_TS_BASE_US,
+        CRAWL_TS_MIX,
+        CRAWL_TS_MOD,
+        RECRAWL_FANOUT,
+    )
+
+    return f"""
+WITH pages AS (
+  SELECT 'doc://' || (doc_id // {RECRAWL_FANOUT})::VARCHAR AS url,
+         doc_id,
+         ({CRAWL_TS_BASE_US} + (doc_id * {CRAWL_TS_MIX}) % {CRAWL_TS_MOD}
+         )::BIGINT AS ts_us
+  FROM documents
+),
+r AS (
+  SELECT url, doc_id, ts_us,
+    row_number() OVER (
+      PARTITION BY url ORDER BY ts_us DESC, doc_id DESC
+    ) AS rn,
+    count(*) OVER (PARTITION BY url) AS n_crawls
+  FROM pages
+)
+SELECT url, n_crawls::BIGINT AS n_crawls, ts_us AS latest_ts_us,
+  doc_id AS latest_doc_id
+FROM r WHERE rn = 1
+"""

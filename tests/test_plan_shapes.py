@@ -308,3 +308,37 @@ def test_kmeans_assignment_broadcasts_codebook(spark):
     nodes = _nodes(plan)
     assert "BroadcastNestedLoopJoin" in nodes, nodes
     assert "SinglePartition" not in plan
+
+
+def test_tfidf_topk_keeps_partial_window_group_limit(spark):
+    """The per-doc rank<=K must keep its map-side WindowGroupLimit
+    (partial + final): at corpus scale the window shuffle then carries
+    K*tasks rows per doc partition, not the full (doc, term) tf table."""
+    from clinicaltransformerrelationextraction_spark.operators.textstats import (
+        q_tfidf_topk,
+    )
+
+    plan = _plan(q_tfidf_topk(spark, SF_SMOKE))
+    assert _nodes(plan).count("WindowGroupLimit") == 2
+
+
+def test_pages_latest_is_single_aggregate_no_window(spark):
+    """Latest-crawl-per-url must plan as ONE map-side-combinable
+    aggregate on url — no Window node and no self-join; the max(struct)
+    tiebreak is an ordinary aggregate, so a hot domain's recrawls reduce
+    to one candidate row per task before the shuffle. Spark holds a
+    struct-typed max buffer in a SortAggregate (not HashAggregate), and
+    the reader wraps in ensure_parallelism's round-robin repartition, so
+    the assertions target the aggregate's partial/final split and the
+    single url hash-shuffle rather than raw node counts."""
+    from clinicaltransformerrelationextraction_spark.operators.dedup import (
+        q_pages_latest,
+    )
+
+    plan = _plan(q_pages_latest(spark, SF_SMOKE))
+    nodes = _nodes(plan)
+    assert "Window" not in nodes
+    assert "SortMergeJoin" not in nodes and "BroadcastHashJoin" not in nodes
+    assert "partial_max" in plan  # map-side combine exists
+    assert nodes.count("SortAggregate") == 2  # partial + final
+    assert plan.count("hashpartitioning(url") == 1  # the one real shuffle
