@@ -210,6 +210,14 @@ def _q_graph_user_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return q_graph_user_pagerank(spark, sf)
 
 
+def _q_graph_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        q_graph_neighbor_jaccard,
+    )
+
+    return q_graph_neighbor_jaccard(spark, sf)
+
+
 def _q_graph_components_star(spark: SparkSession, sf: str) -> DataFrame:
     from clinicaltransformerrelationextraction_spark.operators.graph import (
         q_graph_components_star,
@@ -306,16 +314,18 @@ def _q_segment_pages_pandas(spark: SparkSession, sf: str) -> DataFrame:
 # unchanged (covered by the in-repo sf0.001 parity suite and the full
 # local sf0.01 verify drive).
 _WINDOW: list[str] = [
-    # flagship pipeline (current anchors)
+    # flagship pipeline (current anchors; q_mentions yields its slot to
+    # the new graph query — it is r4-green, unchanged, and exercised as
+    # a sub-stage of every pipeline query in the window)
     "q_triples", "q_triples_uni", "q_candidates", "q_predictions",
-    "q_mentions", "q_sentences", "q_binary_triples",
+    "q_sentences", "q_binary_triples",
     # never-driver-green: the r4 red row (output reshaped this round) and
     # the r4 window-rule miss, pinned with its same-oracle min-label twin
     "q_kmeans_centroids", "q_graph_components_star", "q_graph_components",
     # new this round: TF-IDF keyword extraction + latest-crawl-per-url
     # snapshot dedup (displacing the q_graph_pagerank/q_graph_degree
     # anchors, both r4-green and unchanged)
-    "q_tfidf_topk", "q_pages_latest",
+    "q_tfidf_topk", "q_pages_latest", "q_graph_neighbor_jaccard",
     # last-driver-row-round-2 (all 8)
     "q_distinct_labels", "q_label_weights", "q_event_type_pivot",
     "q_events_by_hour", "q_events_by_value_band", "q_json_props",
@@ -351,6 +361,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_triangles": _q_graph_triangles,
         "q_graph_user_components": _q_graph_user_components,
         "q_graph_components_star": _q_graph_components_star,
+        "q_graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "q_graph_user_pagerank": _q_graph_user_pagerank,
         "q_micro_prf": _q_micro_prf,
         "q_tokenized_features": _q_tokenized_features,
@@ -384,6 +395,7 @@ def _all_oracle_sql() -> dict[str, str]:
         # the star-contraction variant computes the identical fixpoint,
         # so it shares the components oracle verbatim
         "q_graph_components_star": oracle.q_graph_components(),
+        "q_graph_neighbor_jaccard": oracle.q_graph_neighbor_jaccard(),
         "q_graph_user_pagerank": oracle.q_graph_user_pagerank(),
         "q_micro_prf": oracle.q_micro_prf(),
         "q_tokenized_features": oracle.q_tokenized_features(),

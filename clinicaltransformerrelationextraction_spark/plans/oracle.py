@@ -644,3 +644,28 @@ SELECT 'doc://' || doc_id AS url, sent_id, sent_start,
   (sent_start + length(sent_text))::BIGINT AS sent_end, sent_text
 FROM win
 """
+
+
+def q_graph_neighbor_jaccard() -> str:
+    """Neighborhood-Jaccard oracle (operators/graph.py
+    q_graph_neighbor_jaccard): same wedge join + degree joins over the
+    symmetrized ge edge set; jaccard is one double division of exact
+    BIGINTs on both engines."""
+    return f"""{PIPELINE_PREFIX},{PRED_CTE},{TRIPLES_CTE},{_LINKED_CTES},{_UND_CTES},
+sym AS MATERIALIZED (
+  SELECT a AS m, b AS x FROM ge
+  UNION ALL
+  SELECT b, a FROM ge
+),
+deg AS (SELECT m AS v, count(*)::BIGINT AS deg FROM sym GROUP BY m),
+common AS (
+  SELECT p.x AS a, q.x AS b, count(*)::BIGINT AS n_common
+  FROM sym p JOIN sym q ON p.m = q.m AND p.x < q.x
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b, c.n_common, da.deg AS deg_a, db.deg AS deg_b,
+  c.n_common / (da.deg + db.deg - c.n_common) AS jaccard
+FROM common c
+JOIN deg da ON da.v = c.a
+JOIN deg db ON db.v = c.b
+"""
