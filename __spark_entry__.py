@@ -314,11 +314,11 @@ def _q_segment_pages_pandas(spark: SparkSession, sf: str) -> DataFrame:
 # unchanged (covered by the in-repo sf0.001 parity suite and the full
 # local sf0.01 verify drive).
 _WINDOW: list[str] = [
-    # flagship pipeline (current anchors; q_mentions yields its slot to
-    # the new graph query — it is r4-green, unchanged, and exercised as
-    # a sub-stage of every pipeline query in the window)
+    # flagship pipeline (current anchors; q_mentions/q_sentences/
+    # q_binary_triples yield their slots to this round's new queries —
+    # all three are r4-green and unchanged, and the first two are
+    # exercised as sub-stages of every pipeline query in the window)
     "q_triples", "q_triples_uni", "q_candidates", "q_predictions",
-    "q_sentences", "q_binary_triples",
     # never-driver-green: the r4 red row (output reshaped this round) and
     # the r4 window-rule miss, pinned with its same-oracle min-label twin
     "q_kmeans_centroids", "q_graph_components_star", "q_graph_components",
@@ -326,6 +326,7 @@ _WINDOW: list[str] = [
     # snapshot dedup (displacing the q_graph_pagerank/q_graph_degree
     # anchors, both r4-green and unchanged)
     "q_tfidf_topk", "q_pages_latest", "q_graph_neighbor_jaccard",
+    "q_pack_bins", "q_contamination",
     # last-driver-row-round-2 (all 8)
     "q_distinct_labels", "q_label_weights", "q_event_type_pivot",
     "q_events_by_hour", "q_events_by_value_band", "q_json_props",

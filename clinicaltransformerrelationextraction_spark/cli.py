@@ -184,6 +184,54 @@ def cmd_featurize(args: argparse.Namespace, spark=None) -> dict:
     return {"n_train": n_train, "n_dev": n_dev, "labels": len(LABELS)}
 
 
+ANALYZE_QUERIES = {
+    # corpus-analysis surface: name -> operators.textstats/dedup callable
+    # (all oracle-checked queries; the CLI writes their output as parquet)
+    "token_stats": ("textstats", "q_token_stats"),
+    "lang_id": ("textstats", "q_lang_id"),
+    "quality": ("textstats", "q_quality"),
+    "tfidf": ("textstats", "q_tfidf_topk"),
+    "ngrams": ("textstats", "q_ngram_topk"),
+    "contamination": ("textstats", "q_contamination"),
+    "pack_bins": ("textstats", "q_pack_bins"),
+    "dedup_exact": ("dedup", "q_dedup_exact"),
+    "dedup_pairs": ("dedup", "q_dedup_jaccard"),
+    "dedup_clusters": ("dedup", "q_dedup_clusters"),
+    "pages_latest": ("dedup", "q_pages_latest"),
+}
+
+
+def cmd_analyze(args: argparse.Namespace, spark=None) -> dict:
+    """Corpus-analysis toolbox: run the selected training-data-pipeline
+    analyses over a documents directory and write each result as parquet
+    under ``--output/<name>``. Beyond the reference's surface (it has no
+    corpus analytics), but the natural operational entry point for the
+    dedup/quality/packing queries a 100 TB ingest runs before training."""
+    import importlib
+
+    from .session import get_spark
+
+    spark = spark or get_spark(app_name="ctre-analyze")
+    names = args.queries or sorted(ANALYZE_QUERIES)
+    unknown = [n for n in names if n not in ANALYZE_QUERIES]
+    if unknown:
+        raise SystemExit(
+            f"unknown analyses {unknown}; available: "
+            f"{sorted(ANALYZE_QUERIES)}"
+        )
+    out: dict = {}
+    for n in names:
+        mod_name, fn_name = ANALYZE_QUERIES[n]
+        mod = importlib.import_module(
+            f".operators.{mod_name}", __package__
+        )
+        df = getattr(mod, fn_name)(spark, args.input)
+        dest = f"{args.output}/{n}"
+        df.write.mode("overwrite").parquet(dest)
+        out[n] = spark.read.parquet(dest).count()
+    return out
+
+
 def cmd_eval(args: argparse.Namespace, spark=None) -> dict:
     from .operators.evaluation import relation_match_prf
     from .session import get_spark
@@ -212,9 +260,19 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     _add_common(p_feat)
     p_feat.add_argument("--n-folds", type=int, default=5,
                         help="dev = fold 0 of an md5-mod split")
+    p_an = sub.add_parser(
+        "analyze",
+        help="corpus analytics: dedup/quality/tfidf/packing -> parquet",
+    )
+    p_an.add_argument("--input", required=True,
+                      help="sf-style dir holding documents.parquet")
+    p_an.add_argument("--output", required=True, help="output dir")
+    p_an.add_argument("--queries", nargs="*", default=None,
+                      help=f"subset of {sorted(ANALYZE_QUERIES)} "
+                           "(default: all)")
     args = top.parse_args(argv)
     fn = {"predict": cmd_predict, "resume": cmd_resume, "eval": cmd_eval,
-          "featurize": cmd_featurize}
+          "featurize": cmd_featurize, "analyze": cmd_analyze}
     out = fn[args.cmd](args, spark=spark)
     print(json.dumps(out))
     return out

@@ -338,3 +338,103 @@ def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= TFIDF_TOPK)
         .select("doc_id", "term", "tf", "idf_log2", "score", "rank")
     )
+
+
+PACK_BUDGET = 256  # token budget per packed training sequence
+
+
+def q_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sequence packing — the pretraining dataset-prep step
+    that concatenates documents into fixed-budget training sequences:
+    docs are packed contiguously in doc_id order and a doc goes to the
+    bin its CUMULATIVE-BEFORE token count falls in
+    (bin = cum_before div PACK_BUDGET — greedy contiguous packing where
+    a straddling doc overflows its bin, the standard simple packer).
+    Output is one row per (source, bin): docs packed, token sum, and the
+    fill ratio (a single double division of exact BIGINTs).
+
+    Scale shape: the prefix sum is windowed PER SOURCE (partition by
+    source, order by doc_id) — a keyed window that parallelizes across
+    sources, NOT a global single-partition ordering (the global variant
+    is the classic scale-killer: every row through one task). At 10^12
+    docs the 'source' key is the shard/date partition you'd pack within
+    anyway — packing never needs global order, only reproducible order
+    within a shard."""
+    d = _docs(spark, sf)
+    toks = d.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    # SQL spelling: integral `div` (the cross-engine-exact division) is
+    # an expression-level operator, so the windowed prefix sum and the
+    # bin division live in one F.expr
+    binned = toks.select(
+        "source", "doc_id", "n_tok",
+        F.expr(
+            f"coalesce(sum(n_tok) over (partition by source order by doc_id"
+            f" rows between unbounded preceding and 1 preceding), 0)"
+            f" div {PACK_BUDGET}"
+        ).cast("long").alias("bin"),
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select(
+            "source", "bin", "n_docs", "n_tokens",
+            (F.col("n_tokens") / F.lit(PACK_BUDGET)).alias("fill_ratio"),
+        )
+    )
+
+
+# benchmark decontamination probe set: bigrams that occur in the synthetic
+# corpus (hit path) and one that cannot (miss path — the zero-match row)
+CONTAM_PROBES = [
+    "batch batch",
+    "window window",
+    "the fast",
+    "join order",
+    "zz_never zz_seen",
+]
+
+
+def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination scan — before training, count how many
+    corpus documents contain each probe n-gram from a benchmark/eval set
+    (the decontamination census): one row per probe with the number of
+    containing docs and the contamination rate over the corpus.
+
+    Scale shape: the probe set is the BROADCAST side (a benchmark's
+    n-grams are tiny next to the corpus) crossed against the per-doc
+    bigram arrays in a single corpus scan — the corpus is read once,
+    never shuffled, and the per-probe counts are a K-row aggregate.
+    Probes with zero matches stay in the output (left join from the
+    probe list), so an all-clean corpus yields explicit zeros, not an
+    empty frame."""
+    d = _docs(spark, sf)
+    bg = d.select("doc_id", bigrams_expr(F.split("text", " ")).alias("bg"))
+    probes = spark.range(len(CONTAM_PROBES)).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in CONTAM_PROBES]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("probe")
+    )
+    hits = (
+        bg.crossJoin(F.broadcast(probes))
+        .filter(F.array_contains("bg", F.col("probe")))
+        .groupBy("probe")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    n_total = d.agg(F.count("*").alias("n_total"))
+    return (
+        probes.join(hits, "probe", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "probe",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            (
+                F.coalesce("n_docs", F.lit(0)) / F.col("n_total")
+            ).alias("contamination_rate"),
+        )
+    )

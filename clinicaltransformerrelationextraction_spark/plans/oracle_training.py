@@ -771,3 +771,59 @@ SELECT url, n_crawls::BIGINT AS n_crawls, ts_us AS latest_ts_us,
   doc_id AS latest_doc_id
 FROM r WHERE rn = 1
 """
+
+
+def q_pack_bins() -> str:
+    """Sequence-packing oracle (operators/textstats.py q_pack_bins):
+    same per-source prefix sum (rows-frame window), integral division
+    into bins, per-(source, bin) rollup."""
+    from ..operators.textstats import PACK_BUDGET
+
+    return f"""
+WITH toks AS (
+  SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+  FROM documents
+),
+binned AS (
+  SELECT source, doc_id, n_tok,
+    (coalesce(sum(n_tok) OVER (
+       PARTITION BY source ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+     // {PACK_BUDGET})::BIGINT AS bin
+  FROM toks
+)
+SELECT source, bin, count(*)::BIGINT AS n_docs,
+  sum(n_tok)::BIGINT AS n_tokens,
+  sum(n_tok) / {PACK_BUDGET} AS fill_ratio
+FROM binned GROUP BY source, bin
+"""
+
+
+def q_contamination() -> str:
+    """Decontamination-census oracle (operators/textstats.py
+    q_contamination): probe list as VALUES, containment via
+    list_contains over the shared bigram derivation, zero-match probes
+    preserved by the left join."""
+    from ..operators.textstats import CONTAM_PROBES
+
+    values = ", ".join(f"('{p}')" for p in CONTAM_PROBES)
+    return f"""
+WITH tl AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+bg AS (
+  SELECT doc_id,
+    CASE WHEN len(tl) >= 2 THEN
+      [tl[i] || ' ' || tl[i + 1] for i in range(1, len(tl))]
+    ELSE [] END AS bg
+  FROM tl
+),
+probes AS (SELECT * FROM (VALUES {values}) t(probe)),
+hits AS (
+  SELECT p.probe, count(*)::BIGINT AS n_docs
+  FROM probes p JOIN bg d ON list_contains(d.bg, p.probe)
+  GROUP BY p.probe
+),
+nt AS (SELECT count(*)::BIGINT AS n_total FROM documents)
+SELECT p.probe, coalesce(h.n_docs, 0)::BIGINT AS n_docs,
+  coalesce(h.n_docs, 0) / nt.n_total AS contamination_rate
+FROM probes p LEFT JOIN hits h USING (probe) CROSS JOIN nt
+"""

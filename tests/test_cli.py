@@ -139,3 +139,42 @@ def test_cli_custom_scorer_name_accepted(spark, tmp_path):
             )
     finally:
         SCORER_REGISTRY.pop("mine", None)
+
+
+def test_cli_analyze(spark, tmp_path):
+    """analyze runs the selected corpus analytics over an sf-style dir
+    and writes one parquet per analysis, matching the query outputs."""
+    from clinicaltransformerrelationextraction_spark.operators.textstats import (
+        CONTAM_PROBES,
+        q_pack_bins,
+    )
+
+    out = str(tmp_path / "analysis")
+    res = main(
+        ["analyze", "--input", SF_SMOKE, "--output", out,
+         "--queries", "contamination", "pack_bins"],
+        spark=spark,
+    )
+    assert set(res) == {"contamination", "pack_bins"}
+    assert res["contamination"] == len(CONTAM_PROBES)
+    back = spark.read.parquet(out + "/pack_bins")
+    want = q_pack_bins(spark, SF_SMOKE)
+    assert back.count() == res["pack_bins"] == want.count()
+    # zero-match probe survives as an explicit zero row
+    row = (
+        spark.read.parquet(out + "/contamination")
+        .filter(F.col("probe") == "zz_never zz_seen")
+        .first()
+    )
+    assert row is not None and row.n_docs == 0
+
+
+def test_cli_analyze_unknown_query(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(
+            ["analyze", "--input", SF_SMOKE,
+             "--output", str(tmp_path / "x"), "--queries", "nope"],
+            spark=spark,
+        )
