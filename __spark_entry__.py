@@ -305,14 +305,17 @@ def _q_segment_pages_pandas(spark: SparkSession, sf: str) -> DataFrame:
 # whose last driver row is round 2, ALL 30 whose last driver row is
 # round 3, plus this round's changed queries (q_dedup_clusters's
 # propagation, star convergence, IVF nprobe plumbing — already inside the
-# r3 block), the two queries NEW this round (q_tfidf_topk,
-# q_pages_latest), and 8 current-evidence anchors: the 7-query flagship
-# pipeline and q_graph_components (the same-oracle twin of the star
-# variant, so both components algorithms get same-round rows). After
-# this round every registered query has driver evidence from round 4 or
-# 5. Outside the window: only round-4-green queries whose code is
-# unchanged (covered by the in-repo sf0.001 parity suite and the full
-# local sf0.01 verify drive).
+# r3 block), the FIVE queries NEW this round (q_tfidf_topk,
+# q_pages_latest, q_graph_neighbor_jaccard, q_pack_bins,
+# q_contamination), and 5 current-evidence anchors: the 4 core flagship
+# queries (q_triples/q_triples_uni/q_candidates/q_predictions — these
+# transitively exercise segmentation, mentions, tokenize and scoring)
+# and q_graph_components (the same-oracle twin of the star variant, so
+# both components algorithms get same-round rows). After this round
+# every registered query has driver evidence from round 4 or 5. Outside
+# the window: only round-4-green queries whose code is unchanged
+# (covered by the in-repo sf0.001 parity suite and the full local
+# sf0.01 verify drive).
 _WINDOW: list[str] = [
     # flagship pipeline (current anchors; q_mentions/q_sentences/
     # q_binary_triples yield their slots to this round's new queries —

@@ -211,14 +211,17 @@ def cmd_analyze(args: argparse.Namespace, spark=None) -> dict:
 
     from .session import get_spark
 
-    spark = spark or get_spark(app_name="ctre-analyze")
-    names = args.queries or sorted(ANALYZE_QUERIES)
+    # validate BEFORE paying JVM/session startup; `is None` (not falsy)
+    # so an explicitly empty --queries errors instead of silently
+    # running all analyses
+    names = sorted(ANALYZE_QUERIES) if args.queries is None else args.queries
     unknown = [n for n in names if n not in ANALYZE_QUERIES]
-    if unknown:
+    if unknown or not names:
         raise SystemExit(
-            f"unknown analyses {unknown}; available: "
+            f"unknown analyses {unknown or '(empty list)'}; available: "
             f"{sorted(ANALYZE_QUERIES)}"
         )
+    spark = spark or get_spark(app_name="ctre-analyze")
     out: dict = {}
     for n in names:
         mod_name, fn_name = ANALYZE_QUERIES[n]

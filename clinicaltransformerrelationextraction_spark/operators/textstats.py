@@ -414,11 +414,8 @@ def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
     empty frame."""
     d = _docs(spark, sf)
     bg = d.select("doc_id", bigrams_expr(F.split("text", " ")).alias("bg"))
-    probes = spark.range(len(CONTAM_PROBES)).select(
-        F.element_at(
-            F.array(*[F.lit(p) for p in CONTAM_PROBES]),
-            (F.col("id") + 1).cast("int"),
-        ).alias("probe")
+    probes = spark.createDataFrame(
+        [(p,) for p in CONTAM_PROBES], "probe string"
     )
     hits = (
         bg.crossJoin(F.broadcast(probes))

@@ -806,7 +806,11 @@ def q_contamination() -> str:
     preserved by the left join."""
     from ..operators.textstats import CONTAM_PROBES
 
-    values = ", ".join(f"('{p}')" for p in CONTAM_PROBES)
+    # escape single quotes: the Spark side goes through typed literals,
+    # so the SQL rendering must not be the narrower path
+    values = ", ".join(
+        "('" + p.replace("'", "''") + "')" for p in CONTAM_PROBES
+    )
     return f"""
 WITH tl AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
 bg AS (
