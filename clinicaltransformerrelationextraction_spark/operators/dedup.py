@@ -142,7 +142,12 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     signature table you'd materialize once anyway. (Also measured: an
     explode-shingles -> codegen md5 -> map-side-combined min groupBy
     variant loses to the in-row HOF signatures 5.5s vs 3.4s at sf0.1 —
-    the extra shuffle outweighs codegen'd hashing.)"""
+    the extra shuffle outweighs codegen'd hashing. Round-5 retry of the
+    'fewer passes' idea: folding all 8 per-seed minima into ONE
+    aggregate+zip_with traversal of the digest array also loses, ~1.33x
+    slower same-window — the per-element array(substring x8) + zip_with
+    allocations cost more than 7 extra flat array_min passes; identical
+    output verified by exceptAll before timing.)"""
     b = _bands(spark, sf)
     buckets = (
         b.groupBy("band", "bkey")
