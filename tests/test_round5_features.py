@@ -145,3 +145,32 @@ def test_neighbor_jaccard_matches_pure_python(spark):
         assert (gc, gda, gdb) == (c, da, db), k
         assert abs(gj - j) < 1e-12
     assert expected, "graph produced no overlapping neighborhoods"
+
+
+def test_user_star_edges_components_equal_clique(spark):
+    """The star contraction of the per-(k, day) co-action cliques must
+    yield EXACTLY the components of the full clique expansion — the
+    equivalence that lets q_graph_user_components skip materializing
+    O(group^2) edges."""
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        _user_edges,
+        _user_star_edges,
+        min_label_components,
+    )
+
+    clique = {
+        (r.entity, r.component, r.is_root)
+        for r in min_label_components(_user_edges(spark, SF_SMOKE)).collect()
+    }
+    star = {
+        (r.entity, r.component, r.is_root)
+        for r in min_label_components(
+            _user_star_edges(spark, SF_SMOKE)
+        ).collect()
+    }
+    assert clique == star and clique
+    # and the star list really is the smaller derivation
+    assert (
+        _user_star_edges(spark, SF_SMOKE).count()
+        <= _user_edges(spark, SF_SMOKE).count()
+    )
