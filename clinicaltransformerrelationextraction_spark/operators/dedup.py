@@ -415,6 +415,24 @@ CRAWL_TS_MIX = 7919  # prime multiplier; ts = BASE + (doc_id*MIX) % MOD
 CRAWL_TS_MOD = 100_000
 
 
+def pages_with_crawl_ts(docs: DataFrame) -> DataFrame:
+    """(url, doc_id, ts_us) synthetic crawl log from a documents frame —
+    the shared derivation for the batch latest-per-url query and its
+    streaming stateful twin (streaming/stream_pipeline.py
+    stream_pages_latest)."""
+    return docs.select(
+        F.concat(
+            F.lit("doc://"),
+            F.expr(f"doc_id div {RECRAWL_FANOUT}").cast("string"),
+        ).alias("url"),
+        "doc_id",
+        (
+            F.lit(CRAWL_TS_BASE_US).cast("long")
+            + (F.col("doc_id") * CRAWL_TS_MIX) % CRAWL_TS_MOD
+        ).alias("ts_us"),
+    )
+
+
 def q_pages_latest(spark: SparkSession, sf: str) -> DataFrame:
     """Latest-crawl-per-url snapshot dedup — the first operator any
     Common-Crawl-style ingest runs (the north-rule pages shape carries
@@ -431,18 +449,7 @@ def q_pages_latest(spark: SparkSession, sf: str) -> DataFrame:
     shuffle; no window, no self-join, and url skew (a hot domain) is
     bounded by the combine. The struct max implements the
     (ts DESC, doc_id DESC) tiebreak the oracle's row_number mirrors."""
-    docs = _docs(spark, sf)
-    pages = docs.select(
-        F.concat(
-            F.lit("doc://"),
-            F.expr(f"doc_id div {RECRAWL_FANOUT}").cast("string"),
-        ).alias("url"),
-        "doc_id",
-        (
-            F.lit(CRAWL_TS_BASE_US).cast("long")
-            + (F.col("doc_id") * CRAWL_TS_MIX) % CRAWL_TS_MOD
-        ).alias("ts_us"),
-    )
+    pages = pages_with_crawl_ts(_docs(spark, sf))
     return (
         pages.groupBy("url")
         .agg(

@@ -131,3 +131,67 @@ def stream_dedup_pages(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_pages_latest(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> None:
+    """Streaming stateful twin of the batch latest-crawl-per-url query
+    (operators/dedup.q_pages_latest): an UPSERT aggregation — per url,
+    keep the running (max (ts, doc_id), crawl count) in
+    ``applyInPandasWithState`` state and emit the url's refreshed row
+    whenever a micro-batch touches it. Downstream, last-emission-per-url
+    (the row with the max n_crawls) IS the current snapshot — the
+    standard changelog-compaction contract for streaming upserts; the
+    pytest pins that compaction exactly equal to the batch query's
+    output after an AvailableNow drain.
+
+    State is one fixed-width row per url. On a real crawl feed you would
+    add a timeout keyed to crawl recency to bound state by the active
+    url set; the drain-everything test shape keeps NoTimeout."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from ..operators.dedup import pages_with_crawl_ts
+
+    schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    pages = pages_with_crawl_ts(stream)
+
+    def upd(key, pdfs, state: GroupState):
+        n, ts, d = state.get if state.exists else (0, -1, -1)
+        for pdf in pdfs:
+            for t_, d_ in zip(pdf["ts_us"], pdf["doc_id"]):
+                n += 1
+                if (int(t_), int(d_)) > (ts, d):
+                    ts, d = int(t_), int(d_)
+        state.update((n, ts, d))
+        yield pd.DataFrame(
+            [{
+                "url": key[0], "n_crawls": n,
+                "latest_ts_us": ts, "latest_doc_id": d,
+            }]
+        )
+
+    latest = pages.groupBy("url").applyInPandasWithState(
+        upd,
+        "url string, n_crawls long, latest_ts_us long, latest_doc_id long",
+        "n long, ts long, d long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        latest.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

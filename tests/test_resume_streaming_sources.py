@@ -305,3 +305,53 @@ def test_streaming_dedup_matches_batch_exact_dedup(spark, tmp_path):
     stream_dedup_pages(spark, in_dir, ckpt, out_dir)
     again = spark.read.parquet(out_dir).groupBy("text_hash").count()
     assert again.filter(F.col("count") > 1).count() == 0
+
+
+def test_stream_pages_latest_matches_batch(spark, tmp_path):
+    """The stateful streaming latest-per-url upsert, compacted by
+    last-emission-per-url, must equal the batch q_pages_latest over the
+    same documents — including across a SECOND incremental file drop
+    that updates existing urls."""
+    from clinicaltransformerrelationextraction_spark.operators.dedup import (
+        pages_with_crawl_ts,
+    )
+    from clinicaltransformerrelationextraction_spark.plans.pipeline import (
+        load_documents,
+    )
+    from clinicaltransformerrelationextraction_spark.streaming.stream_pipeline import (
+        stream_pages_latest,
+    )
+
+    docs = load_documents(spark, SF_SMOKE).orderBy("doc_id").limit(120)
+    staging = str(tmp_path / "latest_staging")
+    in_dir = str(tmp_path / "latest_in")
+    out_dir = str(tmp_path / "latest_out")
+    ckpt = str(tmp_path / "ckpt_latest")
+    docs.write.mode("overwrite").parquet(staging)
+    base = spark.read.parquet(staging)
+    # first drop: docs 0-59; second drop adds 60-119, half of which
+    # share urls with the first drop's tail (RECRAWL_FANOUT grouping)
+    base.filter(F.col("doc_id") < 60).write.mode("overwrite").parquet(in_dir)
+    stream_pages_latest(spark, in_dir, ckpt, out_dir)
+    base.filter(F.col("doc_id") >= 60).write.mode("append").parquet(in_dir)
+    stream_pages_latest(spark, in_dir, ckpt, out_dir)
+
+    def compact(df):
+        w = df.groupBy("url").agg(F.max("n_crawls").alias("n_crawls"))
+        return df.join(w, ["url", "n_crawls"])
+
+    got = {
+        (r.url, r.n_crawls, r.latest_ts_us, r.latest_doc_id)
+        for r in compact(spark.read.parquet(out_dir)).collect()
+    }
+    # batch twin over the SAME 120-doc subset (not the sf-dir query):
+    # same groupBy max(struct) shape
+    pages = pages_with_crawl_ts(base)
+    want = {
+        (r.url, r.n_crawls, r.ts_us, r.doc_id)
+        for r in pages.groupBy("url").agg(
+            F.count("*").alias("n_crawls"),
+            F.max(F.struct("ts_us", "doc_id")).alias("m"),
+        ).select("url", "n_crawls", "m.ts_us", "m.doc_id").collect()
+    }
+    assert got == want and got
