@@ -388,8 +388,6 @@ def q_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
     Output: final centroids (exploded to scalar (cid, n_members, dim, cv)
     rows — the driver-canonicalizer contract forbids array columns) with
     member counts of the assignment that produced them."""
-    from pyspark.sql import Window
-
     vecs = _q(spark, sf).localCheckpoint()
     cent = (
         _centroids(spark, sf)
@@ -399,16 +397,27 @@ def q_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
     asg = None
     for _ in range(KM_ITERS):
         d = vecs.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "qe", "cid",
+            "vec_id", "cid",
             _sq_l2(F.col("qe"), F.col("centroid")).alias("dist"),
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        # argmin as a MAP-SIDE-COMBINABLE aggregate — min(struct(dist,
+        # cid)) implements the (dist, cid) tiebreak as an ordinary
+        # partial-aggregating min, so the argmin shuffle moves only
+        # scalar (dist, cid) candidates (one per vec per task after the
+        # combine); the qe arrays move once, in the equi-join below.
+        # (The former row_number window form was measured equal-output
+        # and ~6% slower locally: it carried the array payload through
+        # the window shuffle.)
+        arg = (
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"))
+        )
         # checkpoint the assignment: it feeds BOTH the centroid update
         # and (on the last round) the member counts — without this the
         # corpus×K argmin would re-execute from lineage for the counts
         asg = (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            vecs.join(arg, "vec_id")
             .select("vec_id", "qe", "cid")
             .localCheckpoint()
         )
