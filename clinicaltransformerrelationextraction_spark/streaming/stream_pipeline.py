@@ -168,10 +168,15 @@ def stream_pages_latest(
     def upd(key, pdfs, state: GroupState):
         n, ts, d = state.get if state.exists else (0, -1, -1)
         for pdf in pdfs:
-            for t_, d_ in zip(pdf["ts_us"], pdf["doc_id"]):
-                n += 1
-                if (int(t_), int(d_)) > (ts, d):
-                    ts, d = int(t_), int(d_)
+            # vectorized per-chunk reduction (no per-row Python loop —
+            # a hot url's recrawl burst arrives as one big chunk): max
+            # ts, then max doc_id among rows at that ts, then one tuple
+            # compare against the restored state
+            n += len(pdf)
+            c_ts = int(pdf["ts_us"].max())
+            c_d = int(pdf.loc[pdf["ts_us"] == c_ts, "doc_id"].max())
+            if (c_ts, c_d) > (ts, d):
+                ts, d = c_ts, c_d
         state.update((n, ts, d))
         yield pd.DataFrame(
             [{

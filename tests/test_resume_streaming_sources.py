@@ -329,11 +329,14 @@ def test_stream_pages_latest_matches_batch(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt_latest")
     docs.write.mode("overwrite").parquet(staging)
     base = spark.read.parquet(staging)
-    # first drop: docs 0-59; second drop adds 60-119, half of which
-    # share urls with the first drop's tail (RECRAWL_FANOUT grouping)
-    base.filter(F.col("doc_id") < 60).write.mode("overwrite").parquet(in_dir)
+    # split at 58 — deliberately NOT a multiple of RECRAWL_FANOUT=3, so
+    # url doc://19 (docs 57,58,59) STRADDLES the two drops: the second
+    # drain must restore that url's checkpointed state, upsert it, and
+    # re-emit — the cross-drop paths a fanout-aligned split would never
+    # exercise (both emissions then survive to the compaction step)
+    base.filter(F.col("doc_id") < 58).write.mode("overwrite").parquet(in_dir)
     stream_pages_latest(spark, in_dir, ckpt, out_dir)
-    base.filter(F.col("doc_id") >= 60).write.mode("append").parquet(in_dir)
+    base.filter(F.col("doc_id") >= 58).write.mode("append").parquet(in_dir)
     stream_pages_latest(spark, in_dir, ckpt, out_dir)
 
     def compact(df):
@@ -355,3 +358,7 @@ def test_stream_pages_latest_matches_batch(spark, tmp_path):
         ).select("url", "n_crawls", "m.ts_us", "m.doc_id").collect()
     }
     assert got == want and got
+    # the straddling url must have TWO emissions (one per drain) — the
+    # changelog the compaction exists to resolve
+    raw = spark.read.parquet(out_dir).filter(F.col("url") == "doc://19")
+    assert raw.count() == 2
