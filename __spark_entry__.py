@@ -324,8 +324,10 @@ _WINDOW: list[str] = [
     # new/changed queries — all four are r4-green and unchanged; the
     # first two are exercised as sub-stages of every pipeline query in
     # the window and the uni-mode tokenizer path stays driver-covered
-    # through the in-window q_tokenized_uni)
-    "q_triples", "q_candidates", "q_predictions",
+    # through the in-window q_tokenized_uni; late-round: q_predictions
+    # yields to q_dedup_containment — its scorer+alignment path stays
+    # driver-covered through q_triples, which fuses the same stages)
+    "q_triples", "q_candidates",
     # changed this round: star-edge derivation (same components, O(g)
     # not O(g^2) edge materialization)
     "q_graph_user_components",
@@ -336,7 +338,7 @@ _WINDOW: list[str] = [
     # snapshot dedup (displacing the q_graph_pagerank/q_graph_degree
     # anchors, both r4-green and unchanged)
     "q_tfidf_topk", "q_pages_latest", "q_graph_neighbor_jaccard",
-    "q_pack_bins", "q_contamination",
+    "q_pack_bins", "q_contamination", "q_dedup_containment",
     # last-driver-row-round-2 (all 8)
     "q_distinct_labels", "q_label_weights", "q_event_type_pivot",
     "q_events_by_hour", "q_events_by_value_band", "q_json_props",

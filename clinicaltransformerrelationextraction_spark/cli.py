@@ -196,6 +196,7 @@ ANALYZE_QUERIES = {
     "pack_bins": ("textstats", "q_pack_bins"),
     "dedup_exact": ("dedup", "q_dedup_exact"),
     "dedup_pairs": ("dedup", "q_dedup_jaccard"),
+    "dedup_containment": ("dedup", "q_dedup_containment"),
     "dedup_clusters": ("dedup", "q_dedup_clusters"),
     "pages_latest": ("dedup", "q_pages_latest"),
 }

@@ -462,3 +462,40 @@ def q_pages_latest(spark: SparkSession, sf: str) -> DataFrame:
             F.col("m.doc_id").alias("latest_doc_id"),
         )
     )
+
+
+CONTAIN_MIN = 0.5  # containment threshold (superset/subset detection)
+
+
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment for the LSH candidate
+    pairs — containment(A in B) = |A ∩ B| / |A| — reported as the max of
+    both directions with the exact set sizes. This is the web-dedup
+    relation Jaccard misses: a page quoting another wholesale has high
+    containment but low Jaccard when their sizes differ (boilerplate
+    wrapping, syndication, quote-plus-commentary), so dedup pipelines
+    threshold both. Same scale shape as the Jaccard verify: exact set
+    arithmetic only on LSH candidates, one double division per pair at
+    the end."""
+    pairs = q_dedup_minhash_pairs(spark, sf).select("doc_a", "doc_b")
+    sh = _with_shingles(spark, sf)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
+    j = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sha", "shb")).alias("inter"),
+            F.size("sha").alias("size_a"),
+            F.size("shb").alias("size_b"),
+        )
+    )
+    return j.select(
+        "doc_a", "doc_b", "inter", "size_a", "size_b",
+        (
+            F.col("inter")
+            / F.least(F.col("size_a"), F.col("size_b"))
+        ).alias("containment"),
+    ).filter(F.col("containment") >= CONTAIN_MIN)

@@ -831,3 +831,27 @@ SELECT p.probe, coalesce(h.n_docs, 0)::BIGINT AS n_docs,
   coalesce(h.n_docs, 0) / nt.n_total AS contamination_rate
 FROM probes p LEFT JOIN hits h USING (probe) CROSS JOIN nt
 """
+
+
+def q_dedup_containment() -> str:
+    """Containment oracle (operators/dedup.py q_dedup_containment):
+    same LSH candidate CTEs as the Jaccard verify, max-direction
+    containment = inter / least(size_a, size_b)."""
+    from ..operators.dedup import CONTAIN_MIN
+
+    return f"""
+WITH {_SHINGLES.strip()}, {_MH.strip()}, {_BANDS.strip()}, {_PAIRS.strip()},
+sized AS (
+  SELECT p.doc_a, p.doc_b,
+    len(list_intersect(a.shingles, b.shingles))::INT AS inter,
+    len(a.shingles)::INT AS size_a,
+    len(b.shingles)::INT AS size_b
+  FROM mpairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, inter, size_a, size_b,
+  inter / least(size_a, size_b) AS containment
+FROM sized
+WHERE inter / least(size_a, size_b) >= {CONTAIN_MIN}
+"""
