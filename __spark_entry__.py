@@ -325,20 +325,24 @@ _WINDOW: list[str] = [
     # first two are exercised as sub-stages of every pipeline query in
     # the window and the uni-mode tokenizer path stays driver-covered
     # through the in-window q_tokenized_uni; late-round: q_predictions
-    # yields to q_dedup_containment — its scorer+alignment path stays
-    # driver-covered through q_triples, which fuses the same stages)
-    "q_triples", "q_candidates",
+    # yields to q_dedup_containment and q_candidates to the PQ pair —
+    # scorer/alignment/candidate paths all stay driver-covered through
+    # q_triples, which fuses the same stages)
+    "q_triples",
     # changed this round: star-edge derivation (same components, O(g)
     # not O(g^2) edge materialization)
     "q_graph_user_components",
     # never-driver-green: the r4 red row (output reshaped this round) and
-    # the r4 window-rule miss, pinned with its same-oracle min-label twin
-    "q_kmeans_centroids", "q_graph_components_star", "q_graph_components",
+    # the r4 window-rule miss (q_graph_components yielded its twin slot
+    # to the PQ pair — r4-green, unchanged, and its oracle is exercised
+    # verbatim through the star variant below)
+    "q_kmeans_centroids", "q_graph_components_star",
     # new this round: TF-IDF keyword extraction + latest-crawl-per-url
     # snapshot dedup (displacing the q_graph_pagerank/q_graph_degree
     # anchors, both r4-green and unchanged)
     "q_tfidf_topk", "q_pages_latest", "q_graph_neighbor_jaccard",
     "q_pack_bins", "q_contamination", "q_dedup_containment",
+    "q_pq_codes", "q_pq_ann_topk",
     # last-driver-row-round-2 (all 8)
     "q_distinct_labels", "q_label_weights", "q_event_type_pivot",
     "q_events_by_hour", "q_events_by_value_band", "q_json_props",

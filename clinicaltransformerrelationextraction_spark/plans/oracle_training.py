@@ -855,3 +855,80 @@ SELECT doc_a, doc_b, inter, size_a, size_b,
 FROM sized
 WHERE inter / least(size_a, size_b) >= {CONTAIN_MIN}
 """
+
+
+def _pq_ctes() -> str:
+    """Shared PQ CTE stack: subvectors, per-(sub, label) codebook
+    (the _cent_body discipline keyed by two columns), nearest-code
+    assignment with (dist, code) tiebreak."""
+    from ..operators.similarity import PQ_M, PQ_SPLIT, PQ_SUB
+
+    sq = (
+        "list_sum(list_transform(range(1, len(s.sv) + 1),"
+        " i -> (s.sv[i] - c.centroid[i]) * (s.sv[i] - c.centroid[i])))"
+    )
+    return f"""
+subs AS (
+  SELECT vec_id, label * {PQ_SPLIT} + vec_id % {PQ_SPLIT} AS code0,
+         s.s::INT AS sub,
+         qe[1 + s.s * {PQ_SUB} : (s.s + 1) * {PQ_SUB}] AS sv
+  FROM q, UNNEST(range(0, {PQ_M})) s(s)
+),
+cb AS (
+  SELECT sub, code0 AS code,
+    list_transform(list_sort(list(struct_pack(d := dim, c := cv))),
+                   x -> x.c) AS centroid
+  FROM (
+    SELECT sub, code0, d.i AS dim,
+      floor(sum(sv[d.i]) / count(*))::BIGINT AS cv
+    FROM subs, UNNEST(range(1, len(sv) + 1)) d(i)
+    GROUP BY sub, code0, d.i
+  ) GROUP BY sub, code0
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code,
+      row_number() OVER (PARTITION BY s.vec_id, s.sub
+                         ORDER BY {sq}, c.code) AS rn
+    FROM subs s JOIN cb c USING (sub)
+  ) WHERE rn = 1
+)"""
+
+
+def q_pq_codes() -> str:
+    """PQ encoding oracle (operators/similarity.py q_pq_codes)."""
+    return f"""
+WITH {_QE.strip()},{_pq_ctes()}
+SELECT vec_id, sub, code FROM codes
+"""
+
+
+def q_pq_ann_topk() -> str:
+    """PQ ADC top-k oracle (operators/similarity.py q_pq_ann_topk):
+    per-query distance tables joined to the corpus codes, summed,
+    ranked with (adist, neighbor_id) tiebreak."""
+    from ..operators.similarity import TOPK
+
+    sq = (
+        "list_sum(list_transform(range(1, len(s.sv) + 1),"
+        " i -> (s.sv[i] - c.centroid[i]) * (s.sv[i] - c.centroid[i])))"
+    )
+    return f"""
+WITH {_QE.strip()},{_pq_ctes()},
+dtab AS (
+  SELECT s.vec_id AS query_id, s.sub, c.code, {sq} AS d
+  FROM subs s JOIN cb c USING (sub)
+  WHERE s.vec_id < {N_QUERIES}
+),
+approx AS (
+  SELECT t.query_id, k.vec_id AS neighbor_id, sum(t.d)::BIGINT AS adist
+  FROM codes k JOIN dtab t ON t.sub = k.sub AND t.code = k.code
+  WHERE k.vec_id >= {N_QUERIES}
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank::INT AS rank, adist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist, neighbor_id) AS rank
+  FROM approx
+) WHERE rank <= {TOPK}
+"""
