@@ -305,19 +305,21 @@ def _q_segment_pages_pandas(spark: SparkSession, sf: str) -> DataFrame:
 # whose last driver row is round 2, ALL 30 whose last driver row is
 # round 3, plus this round's changed queries (q_dedup_clusters's
 # propagation, star convergence, IVF nprobe plumbing — already inside the
-# r3 block), the FIVE queries NEW this round (q_tfidf_topk,
+# r3 block), the EIGHT queries NEW this round (q_tfidf_topk,
 # q_pages_latest, q_graph_neighbor_jaccard, q_pack_bins,
-# q_contamination), and 5 current-evidence anchors: the 4 core flagship
-# queries (q_triples/q_triples_uni/q_candidates/q_predictions — these
-# transitively exercise segmentation, mentions, tokenize and scoring)
-# and q_graph_components (the same-oracle twin of the star variant, so
-# both components algorithms get same-round rows). After this round
-# every registered query has driver evidence from round 4 or 5. Outside
-# the window: only round-4-green queries whose code is unchanged
-# (covered by the in-repo sf0.001 parity suite and the full local
-# sf0.01 verify drive). Late-round change: q_graph_user_components'
-# star-edge derivation replaced its clique expansion (same fixpoint,
-# pytest-pinned equal), so it re-enters the window per the rule.
+# q_contamination, q_dedup_containment, q_pq_codes, q_pq_ann_topk), the
+# round-5-CHANGED q_graph_user_components (star-edge derivation; same
+# fixpoint, pytest-pinned), and ONE current-evidence anchor: q_triples,
+# the flagship, which transitively exercises segmentation, mentions,
+# candidate generation, tokenize and scoring (q_candidates/
+# q_predictions/q_mentions/q_sentences/q_triples_uni/q_binary_triples/
+# q_graph_components all yielded their slots to this round's new
+# queries — every one is r4-green with unchanged code, and
+# q_graph_components' oracle is exercised verbatim through the star
+# variant). After this round every registered query has driver evidence
+# from round 4 or 5. Outside the window: only round-4-green queries
+# whose code is unchanged (covered by the in-repo sf0.001 parity suite
+# and the full local sf0.01 verify drive).
 _WINDOW: list[str] = [
     # flagship pipeline (current anchors; q_mentions/q_sentences/
     # q_binary_triples/q_triples_uni yield their slots to this round's

@@ -176,23 +176,34 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact bigram Jaccard for the LSH candidate pairs (the verify step of
-    MinHash dedup): inter/union from exact integer set sizes."""
+def _pair_shingle_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_a, doc_b, inter, size_a, size_b) for every MinHash-LSH
+    candidate pair — the shared exact-set-arithmetic core of the Jaccard
+    verify and the containment query (their oracles share the analogous
+    CTE body)."""
     pairs = q_dedup_minhash_pairs(spark, sf).select("doc_a", "doc_b")
     sh = _with_shingles(spark, sf)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
-    j = (
+    return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.size(F.array_intersect("sha", "shb")).alias("inter"),
-            (F.size("sha") + F.size("shb")
-             - F.size(F.array_intersect("sha", "shb"))).alias("uni"),
+            F.size("sha").alias("size_a"),
+            F.size("shb").alias("size_b"),
         )
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact bigram Jaccard for the LSH candidate pairs (the verify step of
+    MinHash dedup): inter/union from exact integer set sizes."""
+    j = _pair_shingle_sizes(spark, sf).select(
+        "doc_a", "doc_b", "inter",
+        (F.col("size_a") + F.col("size_b") - F.col("inter")).alias("uni"),
     )
     return j.select(
         "doc_a", "doc_b", "inter", "uni",
@@ -477,22 +488,7 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     threshold both. Same scale shape as the Jaccard verify: exact set
     arithmetic only on LSH candidates, one double division per pair at
     the end."""
-    pairs = q_dedup_minhash_pairs(spark, sf).select("doc_a", "doc_b")
-    sh = _with_shingles(spark, sf)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
-    j = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sha", "shb")).alias("inter"),
-            F.size("sha").alias("size_a"),
-            F.size("shb").alias("size_b"),
-        )
-    )
-    return j.select(
+    return _pair_shingle_sizes(spark, sf).select(
         "doc_a", "doc_b", "inter", "size_a", "size_b",
         (
             F.col("inter")

@@ -454,8 +454,20 @@ PQ_SPLIT = 8  # codebook entries per label: code = label*SPLIT + vec_id%SPLIT
 def _pq_subvecs(df: DataFrame) -> DataFrame:
     """Explode a (.., qe) frame into (.., sub, sv) subvector rows —
     sub in [0, PQ_M), sv the contiguous PQ_SUB-dim slice. In-row HOF
-    explode, no shuffle."""
-    return df.select(
+    explode, no shuffle. Guards the dimensionality explicitly: F.slice
+    past the array end TRUNCATES silently, and the oracle would slice
+    identically — a regenerated embedding table with a different dim
+    would otherwise stay parity-green while ignoring trailing dims."""
+    guarded = F.when(
+        F.size("qe") == PQ_M * PQ_SUB, F.col("qe")
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"PQ expects {PQ_M * PQ_SUB}-dim vectors "
+                  f"(PQ_M={PQ_M} x PQ_SUB={PQ_SUB}), got dim "),
+            F.size("qe").cast("string"),
+        ))
+    )
+    return df.withColumn("qe", guarded).select(
         "*",
         F.posexplode(
             F.array(
@@ -488,6 +500,23 @@ def _pq_codebook(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pq_encode(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, sub, code): nearest codebook centroid per subspace by
+    exact bigint squared-L2, tie -> smallest code — the single encoding
+    implementation shared by q_pq_codes and the corpus side of
+    q_pq_ann_topk (the oracle's shared `codes` CTE is its SQL twin).
+    The argmin is the map-side-combinable min(struct) aggregate."""
+    d = subs.join(F.broadcast(cb), "sub").select(
+        "vec_id", "sub", "code",
+        _sq_l2(F.col("sv"), F.col("centroid")).alias("dist"),
+    )
+    return (
+        d.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("dist", "code")).alias("m"))
+        .select("vec_id", "sub", F.col("m.code").alias("code"))
+    )
+
+
 def q_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization encoding: every vector compressed to PQ_M
     code ids — its nearest codebook centroid per subspace by exact
@@ -499,17 +528,8 @@ def q_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     min(struct) aggregate — one scalar-only shuffle over (vec, sub)."""
     subs = _pq_subvecs(_q(spark, sf))
     cb = _pq_codebook(spark, sf)
-    d = subs.join(F.broadcast(cb), "sub").select(
-        "vec_id", "sub", "code",
-        _sq_l2(F.col("sv"), F.col("centroid")).alias("dist"),
-    )
-    return (
-        d.groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("dist", "code")).alias("m"))
-        .select(
-            "vec_id", F.col("sub").cast("int").alias("sub"),
-            F.col("m.code").alias("code"),
-        )
+    return _pq_encode(subs, cb).select(
+        "vec_id", F.col("sub").cast("int").alias("sub"), "code"
     )
 
 
@@ -530,16 +550,8 @@ def q_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     cb = _pq_codebook(spark, sf).localCheckpoint()
     subs = _pq_subvecs(_q(spark, sf))
-    corpus_codes = (
-        subs.filter(F.col("vec_id") >= N_QUERIES)
-        .join(F.broadcast(cb), "sub")
-        .select(
-            "vec_id", "sub", "code",
-            _sq_l2(F.col("sv"), F.col("centroid")).alias("dist"),
-        )
-        .groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("dist", "code")).alias("m"))
-        .select("vec_id", "sub", F.col("m.code").alias("code"))
+    corpus_codes = _pq_encode(
+        subs.filter(F.col("vec_id") >= N_QUERIES), cb
     )
     dtab = (
         subs.filter(F.col("vec_id") < N_QUERIES)

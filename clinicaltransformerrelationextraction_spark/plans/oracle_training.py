@@ -639,10 +639,7 @@ def q_kmeans_centroids() -> str:
     tiebreak, update = per-dim floor(sum/count)."""
     from ..operators.similarity import KM_ITERS
 
-    sq = (
-        "list_sum(list_transform(range(1, len(q.qe) + 1),"
-        " i -> (q.qe[i] - c.centroid[i]) * (q.qe[i] - c.centroid[i])))"
-    )
+    sq = _SQ_L2.format(a="q.qe", b="c.centroid")
     steps = []
     prev = "c0"
     for k in range(1, KM_ITERS + 1):
@@ -857,16 +854,19 @@ WHERE inter / least(size_a, size_b) >= {CONTAIN_MIN}
 """
 
 
+_SQ_L2 = (
+    "list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
 def _pq_ctes() -> str:
     """Shared PQ CTE stack: subvectors, per-(sub, label) codebook
     (the _cent_body discipline keyed by two columns), nearest-code
     assignment with (dist, code) tiebreak."""
     from ..operators.similarity import PQ_M, PQ_SPLIT, PQ_SUB
 
-    sq = (
-        "list_sum(list_transform(range(1, len(s.sv) + 1),"
-        " i -> (s.sv[i] - c.centroid[i]) * (s.sv[i] - c.centroid[i])))"
-    )
+    sq = _SQ_L2.format(a="s.sv", b="c.centroid")
     return f"""
 subs AS (
   SELECT vec_id, label * {PQ_SPLIT} + vec_id % {PQ_SPLIT} AS code0,
@@ -909,10 +909,7 @@ def q_pq_ann_topk() -> str:
     ranked with (adist, neighbor_id) tiebreak."""
     from ..operators.similarity import TOPK
 
-    sq = (
-        "list_sum(list_transform(range(1, len(s.sv) + 1),"
-        " i -> (s.sv[i] - c.centroid[i]) * (s.sv[i] - c.centroid[i])))"
-    )
+    sq = _SQ_L2.format(a="s.sv", b="c.centroid")
     return f"""
 WITH {_QE.strip()},{_pq_ctes()},
 dtab AS (

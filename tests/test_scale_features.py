@@ -245,6 +245,9 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     codes = q_pq_codes(spark, SF_SMOKE)
     per_vec = codes.groupBy("vec_id").count().collect()
     assert all(r["count"] == PQ_M for r in per_vec)
+    # and NO vector dropped: absent vec_ids would make the per-group
+    # assertion vacuous
+    assert len(per_vec) == _q(spark, SF_SMOKE).count()
 
     q = _q(spark, SF_SMOKE)
     qs = q.filter(F.col("vec_id") < N_QUERIES).select(
