@@ -430,8 +430,12 @@ def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "probe",
             F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
-            (
-                F.coalesce("n_docs", F.lit(0)) / F.col("n_total")
-            ).alias("contamination_rate"),
+            # empty-corpus guard: rate defined as 0.0 when there are no
+            # docs (ANSI mode raises DIVIDE_BY_ZERO otherwise — found by
+            # the empty-partition robustness test)
+            F.when(
+                F.col("n_total") > 0,
+                F.coalesce("n_docs", F.lit(0)) / F.col("n_total"),
+            ).otherwise(F.lit(0.0)).alias("contamination_rate"),
         )
     )

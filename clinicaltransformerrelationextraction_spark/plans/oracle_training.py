@@ -825,7 +825,9 @@ hits AS (
 ),
 nt AS (SELECT count(*)::BIGINT AS n_total FROM documents)
 SELECT p.probe, coalesce(h.n_docs, 0)::BIGINT AS n_docs,
-  coalesce(h.n_docs, 0) / nt.n_total AS contamination_rate
+  CASE WHEN nt.n_total > 0
+       THEN coalesce(h.n_docs, 0) / nt.n_total
+       ELSE 0.0 END AS contamination_rate
 FROM probes p LEFT JOIN hits h USING (probe) CROSS JOIN nt
 """
 

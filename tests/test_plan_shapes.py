@@ -342,3 +342,20 @@ def test_pages_latest_is_single_aggregate_no_window(spark):
     assert "partial_max" in plan  # map-side combine exists
     assert nodes.count("SortAggregate") == 2  # partial + final
     assert plan.count("hashpartitioning(url") == 1  # the one real shuffle
+
+
+def test_pq_adc_broadcasts_tables_keeps_window_group_limit(spark):
+    """The ADC plan must broadcast BOTH small sides — the codebook into
+    the encoding joins and the per-query distance tables into the
+    corpus-codes join (the property that keeps the corpus scan
+    shuffle-light at 10^12 vectors) — and the rank<=k filter must keep
+    its partial WindowGroupLimit."""
+    from clinicaltransformerrelationextraction_spark.operators.similarity import (
+        q_pq_ann_topk,
+    )
+
+    plan = _plan(q_pq_ann_topk(spark, SF_SMOKE))
+    nodes = _nodes(plan)
+    assert nodes.count("BroadcastHashJoin") >= 2, nodes
+    assert "SortMergeJoin" not in nodes
+    assert nodes.count("WindowGroupLimit") == 2

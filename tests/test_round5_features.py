@@ -174,3 +174,33 @@ def test_user_star_edges_components_equal_clique(spark):
         _user_star_edges(spark, SF_SMOKE).count()
         <= _user_edges(spark, SF_SMOKE).count()
     )
+
+
+def test_round5_queries_on_empty_corpus(spark, tmp_path):
+    """Degenerate-input behavior of the round-5 document queries over an
+    EMPTY documents table (a real state for a new crawl partition):
+    aggregating queries return empty frames, while the contamination
+    census keeps one explicit all-zero row per probe (its left join from
+    the probe list is the contract that an all-clean corpus reads as
+    zeros, not as an empty frame)."""
+    from clinicaltransformerrelationextraction_spark.operators.dedup import (
+        q_pages_latest,
+    )
+    from clinicaltransformerrelationextraction_spark.operators.textstats import (
+        CONTAM_PROBES,
+        q_contamination,
+        q_pack_bins,
+        q_tfidf_topk,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    empty_dir = str(tmp_path / "empty_sf")
+    docs.limit(0).write.mode("overwrite").parquet(
+        f"{empty_dir}/documents.parquet"
+    )
+    assert q_pack_bins(spark, empty_dir).count() == 0
+    assert q_tfidf_topk(spark, empty_dir).count() == 0
+    assert q_pages_latest(spark, empty_dir).count() == 0
+    rows = q_contamination(spark, empty_dir).collect()
+    assert len(rows) == len(CONTAM_PROBES)
+    assert all(r.n_docs == 0 for r in rows)
