@@ -118,6 +118,12 @@ def _time_query(qfn, spark, repeats: int) -> tuple[float, list[float], int]:
 def run_bench() -> dict:
     import __spark_entry__ as entry
 
+    # Host-noise evidence: this sandbox shares a physical host with
+    # co-tenants whose bursts inflate wall times ~20% with ZERO local CPU
+    # consumers visible (round-5 disclosure in BENCH.md). Recording the
+    # load average around the run puts contamination evidence INSIDE the
+    # recorded JSON instead of requiring a separate forensic probe.
+    load_before = os.getloadavg()
     spark = _session(CPUS)
     _warm_python_workers(spark)
     qs = entry.queries()
@@ -151,6 +157,13 @@ def run_bench() -> dict:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "n_triples": n_triples,
         "triples_per_sec": triples_per_sec,
+        # 1-min load before/after and 15-min before, minus this
+        # process's own contribution (which dominates load AFTER a
+        # 32-core run): before-values >> 0 with no local consumer mean
+        # a co-tenant burst overlapped the measurement window
+        "host_load_1m_before": round(load_before[0], 2),
+        "host_load_15m_before": round(load_before[2], 2),
+        "host_load_1m_after": round(os.getloadavg()[0], 2),
     }
 
 
