@@ -157,10 +157,11 @@ def run_bench() -> dict:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "n_triples": n_triples,
         "triples_per_sec": triples_per_sec,
-        # 1-min load before/after and 15-min before, minus this
-        # process's own contribution (which dominates load AFTER a
-        # 32-core run): before-values >> 0 with no local consumer mean
-        # a co-tenant burst overlapped the measurement window
+        # RAW os.getloadavg() — nothing subtracted. The before-values
+        # are the interpretable ones (captured before the Spark session
+        # starts): >> 0 with no local consumer means a co-tenant burst
+        # overlapped the window. The after-value inevitably includes
+        # this process's own just-finished 32-core run.
         "host_load_1m_before": round(load_before[0], 2),
         "host_load_15m_before": round(load_before[2], 2),
         "host_load_1m_after": round(os.getloadavg()[0], 2),

@@ -204,3 +204,24 @@ def test_round5_queries_on_empty_corpus(spark, tmp_path):
     rows = q_contamination(spark, empty_dir).collect()
     assert len(rows) == len(CONTAM_PROBES)
     assert all(r.n_docs == 0 for r in rows)
+    # the empty-corpus guard's contract is an explicit 0.0 rate (not
+    # NULL, not an error) — pin the value, not just the row shape
+    assert all(r.contamination_rate == 0.0 for r in rows)
+
+    # the ORACLE's ELSE 0.0 branch must agree on the same empty table
+    # (the guard landed symmetrically; parity runs never see an empty
+    # corpus, so this is its only coverage)
+    import duckdb
+
+    from clinicaltransformerrelationextraction_spark.plans import (
+        oracle_training,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{empty_dir}/documents.parquet/*.parquet')"
+    )
+    orows = con.execute(oracle_training.q_contamination()).fetchall()
+    assert len(orows) == len(CONTAM_PROBES)
+    assert all(r[1] == 0 and r[2] == 0.0 for r in orows)
