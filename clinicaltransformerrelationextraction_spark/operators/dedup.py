@@ -66,21 +66,22 @@ def minhash_cols(digests: Column, n_seeds: int = N_SEEDS) -> list[Column]:
     ]
 
 
-def _with_shingles(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _docs(spark, sf)
+def shingle_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) from any documents-shaped frame — the df-based
+    core shared by the corpus-wide queries here and the incremental
+    (delta-vs-index) operators in incremental.py."""
     toks = F.split("text", " ")
     return docs.select(
         "doc_id", shingles_col(toks).alias("shingles")
     ).filter(F.size("shingles") > 0)
 
 
-def _with_digests(spark: SparkSession, sf: str) -> DataFrame:
+def digest_frame(sh: DataFrame) -> DataFrame:
     """(doc_id, shingles, digs): one md5 digest per shingle, materialized
     ONCE via an explode(array(...)) Generate barrier so the 8 per-seed
     array_min projections reference an attribute instead of re-evaluating
     the md5 transform (Catalyst does not CSE across separate HOF lambdas).
     """
-    sh = _with_shingles(spark, sf)
     return sh.select(
         "doc_id",
         "shingles",
@@ -88,6 +89,14 @@ def _with_digests(spark: SparkSession, sf: str) -> DataFrame:
             F.array(F.transform(F.col("shingles"), lambda x: F.md5(x)))
         ).alias("digs"),
     )
+
+
+def _with_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    return shingle_frame(_docs(spark, sf))
+
+
+def _with_digests(spark: SparkSession, sf: str) -> DataFrame:
+    return digest_frame(_with_shingles(spark, sf))
 
 
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -111,8 +120,12 @@ def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", F.col("seed").cast("int").alias("seed"), "mh")
 
 
-def _bands(spark: SparkSession, sf: str) -> DataFrame:
-    sh = _with_digests(spark, sf)
+def bands_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band index from any documents-shaped
+    frame. At 100 TB this IS the persisted dedup index: a daily delta is
+    deduped by joining ITS bands against this table (incremental.py)
+    instead of re-banding the historical corpus."""
+    sh = digest_frame(shingle_frame(docs))
     mhs = minhash_cols(F.col("digs"))
     n_bands = N_SEEDS // BAND_ROWS
     band_keys = F.array(
@@ -127,6 +140,10 @@ def _bands(spark: SparkSession, sf: str) -> DataFrame:
     )
     return sh.select("doc_id", F.posexplode(band_keys).alias("band", "bkey")) \
         .select("doc_id", F.col("band").cast("int").alias("band"), "bkey")
+
+
+def _bands(spark: SparkSession, sf: str) -> DataFrame:
+    return bands_frame(_docs(spark, sf))
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -148,7 +165,14 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     slower same-window — the per-element array(substring x8) + zip_with
     allocations cost more than 7 extra flat array_min passes; identical
     output verified by exceptAll before timing.)"""
-    b = _bands(spark, sf)
+    return candidate_pairs_frame(_docs(spark, sf))
+
+
+def candidate_pairs_frame(docs: DataFrame) -> DataFrame:
+    """The df-based bucket-group LSH pair core of
+    ``q_dedup_minhash_pairs`` (see its docstring for the measured design
+    rationale), reused by the incremental delta-vs-delta path."""
+    b = bands_frame(docs)
     buckets = (
         b.groupBy("band", "bkey")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -176,13 +200,11 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _pair_shingle_sizes(spark: SparkSession, sf: str) -> DataFrame:
-    """(doc_a, doc_b, inter, size_a, size_b) for every MinHash-LSH
-    candidate pair — the shared exact-set-arithmetic core of the Jaccard
-    verify and the containment query (their oracles share the analogous
-    CTE body)."""
-    pairs = q_dedup_minhash_pairs(spark, sf).select("doc_a", "doc_b")
-    sh = _with_shingles(spark, sf)
+def pair_shingle_stats(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, inter, size_a, size_b) for a (doc_a, doc_b) pair
+    frame against a (doc_id, shingles) frame — the df-based exact-set-
+    arithmetic core shared by the Jaccard verify, the containment query,
+    and the incremental verify."""
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
     return (
@@ -198,10 +220,21 @@ def _pair_shingle_sizes(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact bigram Jaccard for the LSH candidate pairs (the verify step of
-    MinHash dedup): inter/union from exact integer set sizes."""
-    j = _pair_shingle_sizes(spark, sf).select(
+def _pair_shingle_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-wide instantiation of ``pair_shingle_stats`` over the
+    MinHash-LSH candidate pairs (their oracles share the analogous CTE
+    body)."""
+    return pair_shingle_stats(
+        q_dedup_minhash_pairs(spark, sf).select("doc_a", "doc_b"),
+        _with_shingles(spark, sf),
+    )
+
+
+def jaccard_verify(stats: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, inter, uni, jaccard) rows at or above JACCARD_MIN,
+    from a ``pair_shingle_stats``-shaped frame — the threshold step shared
+    by the corpus-wide verify and the incremental verify."""
+    j = stats.select(
         "doc_a", "doc_b", "inter",
         (F.col("size_a") + F.col("size_b") - F.col("inter")).alias("uni"),
     )
@@ -209,6 +242,12 @@ def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         "doc_a", "doc_b", "inter", "uni",
         (F.col("inter") / F.col("uni")).alias("jaccard"),
     ).filter(F.col("jaccard") >= JACCARD_MIN)
+
+
+def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact bigram Jaccard for the LSH candidate pairs (the verify step of
+    MinHash dedup): inter/union from exact integer set sizes."""
+    return jaccard_verify(_pair_shingle_sizes(spark, sf))
 
 
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -240,15 +279,52 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     recompute LOSES (clusters 6.2 -> 8.8 s): on this template-generated
     corpus ~96% of docs appear in some LSH candidate pair, so the
     restriction saves nothing and checkpointing the restricted shingle
-    arrays serializes what the inline projection pipelines for free."""
+    arrays serializes what the inline projection pipelines for free.
+    (The restriction DOES pay in the incremental delta path, where the
+    involved set is delta-bounded — incremental.py.)"""
+    return clusters_frame(_docs(spark, sf))
+
+
+def clusters_frame(docs: DataFrame) -> DataFrame:
+    """The df-based full-recompute cluster core of ``q_dedup_clusters``
+    (see its docstring for design + profiling notes) — also the
+    from-scratch baseline the incremental merge (incremental.py) is
+    pytest-pinned equal to."""
     # materialize the verified pair table ONCE before it is referenced
     # twice by the symmetric union below — without this the whole
     # LSH+jaccard subtree executes per union branch (measured ~2x). At
     # 100 TB this checkpoint is the pairs table you'd persist anyway.
     pairs = (
-        q_dedup_jaccard(spark, sf).select("doc_a", "doc_b").localCheckpoint()
+        jaccard_verify(
+            pair_shingle_stats(
+                candidate_pairs_frame(docs).select("doc_a", "doc_b"),
+                shingle_frame(docs),
+            )
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
-    docs = _docs(spark, sf).select("doc_id")
+    labels, edge_nodes = min_label_components(pairs)
+    # docs untouched by any near-dup edge are their own keepers — the
+    # single corpus-sized pass (anti join), outside the iteration
+    singletons = (
+        docs.select("doc_id")
+        .join(edge_nodes, "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return labels.unionByName(singletons).withColumn(
+        "is_keeper", (F.col("doc_id") == F.col("cluster_id")).cast("int")
+    )
+
+
+def min_label_components(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Min-label propagation over an undirected (doc_a, doc_b) pair frame.
+    Returns (labels, edge_nodes): labels = (doc_id, cluster_id) for every
+    node that appears in some pair (cluster_id = component-min doc_id);
+    edge_nodes = the distinct (doc_id) of those nodes, checkpointed —
+    callers use it for the singleton anti join. The df-based loop shared
+    by the corpus-wide clusters query and the incremental cluster merge
+    (incremental.py), which runs it on a CONTRACTED graph."""
     edges = (
         pairs.unionByName(
             pairs.select(
@@ -295,14 +371,7 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         labels = step.select("doc_id", "cluster_id")
         if changed == 0:
             break
-    # docs untouched by any near-dup edge are their own keepers — the
-    # single corpus-sized pass (anti join), outside the iteration
-    singletons = docs.join(edge_nodes, "doc_id", "left_anti").withColumn(
-        "cluster_id", F.col("doc_id")
-    )
-    return labels.unionByName(singletons).withColumn(
-        "is_keeper", (F.col("doc_id") == F.col("cluster_id")).cast("int")
-    )
+    return labels, edge_nodes
 
 
 def simhash_col(toks: Column) -> Column:

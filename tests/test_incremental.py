@@ -1,0 +1,115 @@
+"""Incremental (delta-vs-index) dedup — pytest-pinned equal to the
+from-scratch recompute on ANY corpus split.
+
+The full recompute (`clusters_frame` == `q_dedup_clusters`) is itself
+oracle-verified against DuckDB, so equality here transitively gives the
+incremental path external verification without a driver window slot:
+
+    full pairs    == old-only pairs ∪ incremental pairs   (exact, incl.
+                                                           n_shared_bands)
+    full clusters == merge_clusters(old clusters, verified delta edges,
+                                    delta)
+
+plus the two degenerate deltas (empty delta; everything-is-delta)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clinicaltransformerrelationextraction_spark.functions.util import (
+    ensure_parallelism,
+)
+from clinicaltransformerrelationextraction_spark.operators.dedup import (
+    bands_frame,
+    candidate_pairs_frame,
+    clusters_frame,
+)
+from clinicaltransformerrelationextraction_spark.operators.incremental import (
+    incremental_candidate_pairs,
+    incremental_dedup,
+    incremental_verified_pairs,
+    merge_clusters,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _split(spark):
+    docs = ensure_parallelism(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    return docs, old, new
+
+
+def _same(a, b) -> None:
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_incremental_pairs_equal_full_recompute(spark):
+    docs, old, new = _split(spark)
+    full = candidate_pairs_frame(docs)
+    old_only = candidate_pairs_frame(old)
+    inc = incremental_candidate_pairs(bands_frame(old), new)
+    assert inc.count() > 0  # the split must actually exercise the path
+    # every incremental pair touches the delta; no old-old pair leaks in
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    assert all(
+        r.doc_a in new_ids or r.doc_b in new_ids for r in inc.collect()
+    )
+    _same(full, old_only.unionByName(inc))
+
+
+def test_incremental_clusters_equal_full_recompute(spark):
+    docs, old, new = _split(spark)
+    full = clusters_frame(docs)
+    old_labels = clusters_frame(old).select("doc_id", "cluster_id")
+    cand = incremental_candidate_pairs(bands_frame(old), new)
+    verified = incremental_verified_pairs(cand, old, new)
+    merged = merge_clusters(old_labels, verified, new)
+    _same(full, merged)
+
+
+def test_incremental_dedup_one_call(spark):
+    docs, old, new = _split(spark)
+    verified, labels, index_delta = incremental_dedup(
+        old,
+        bands_frame(old),
+        clusters_frame(old).select("doc_id", "cluster_id"),
+        new,
+    )
+    _same(labels, clusters_frame(docs))
+    # the returned index delta is exactly the delta's band rows
+    _same(index_delta, bands_frame(new))
+    # verified pairs pass the same threshold discipline as the corpus
+    # query: every returned pair is delta-involving and jaccard >= min
+    assert verified.filter(F.col("jaccard") < 0.5).count() == 0
+
+
+def test_incremental_degenerate_deltas(spark):
+    docs, old, _new = _split(spark)
+    empty = docs.limit(0)
+
+    # empty delta: nothing changes
+    old_labels = clusters_frame(old)
+    merged = merge_clusters(
+        old_labels.select("doc_id", "cluster_id"),
+        incremental_verified_pairs(
+            incremental_candidate_pairs(bands_frame(old), empty), old, empty
+        ),
+        empty,
+    )
+    _same(merged, old_labels)
+
+    # everything-is-delta against an empty index: equals the full
+    # recompute on the delta corpus
+    merged_all = merge_clusters(
+        clusters_frame(empty).select("doc_id", "cluster_id"),
+        incremental_verified_pairs(
+            incremental_candidate_pairs(bands_frame(empty), docs),
+            empty,
+            docs,
+        ),
+        docs,
+    )
+    _same(merged_all, clusters_frame(docs))
