@@ -70,6 +70,22 @@ def test_incremental_clusters_equal_full_recompute(spark):
     _same(full, merged)
 
 
+def test_incremental_stored_shingles_mode_identical(spark):
+    """The persisted-shingle-table fast path (the bench's operational
+    mode) returns byte-identical verified pairs to the recompute-from-
+    text path."""
+    from clinicaltransformerrelationextraction_spark.operators.dedup import (
+        shingle_frame,
+    )
+
+    _docs, old, new = _split(spark)
+    cand = incremental_candidate_pairs(bands_frame(old), new)
+    from_text = incremental_verified_pairs(cand, old, new)
+    stored = shingle_frame(old.select("doc_id", "text"))
+    from_store = incremental_verified_pairs(cand, old, new, stored)
+    _same(from_text, from_store)
+
+
 def test_incremental_dedup_one_call(spark):
     docs, old, new = _split(spark)
     verified, labels, index_delta = incremental_dedup(
@@ -84,6 +100,30 @@ def test_incremental_dedup_one_call(spark):
     # verified pairs pass the same threshold discipline as the corpus
     # query: every returned pair is delta-involving and jaccard >= min
     assert verified.filter(F.col("jaccard") < 0.5).count() == 0
+
+
+def test_incremental_exact_equals_full(spark):
+    from clinicaltransformerrelationextraction_spark.operators.incremental import (
+        incremental_exact,
+    )
+
+    docs, old, new = _split(spark)
+
+    def exact(d):
+        return d.groupBy(F.md5("text").alias("text_hash")).agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+
+    # full side = the driver-verified query itself, so the incremental
+    # update transitively carries its oracle evidence
+    from clinicaltransformerrelationextraction_spark.operators.dedup import (
+        q_dedup_exact,
+    )
+
+    _same(q_dedup_exact(spark, SF_SMOKE), incremental_exact(exact(old), new))
+    # empty delta is the identity
+    _same(exact(old), incremental_exact(exact(old), docs.limit(0)))
 
 
 def test_incremental_degenerate_deltas(spark):
