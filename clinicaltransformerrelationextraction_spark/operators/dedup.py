@@ -304,7 +304,7 @@ def clusters_frame(docs: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
-    labels, edge_nodes = min_label_components(pairs)
+    labels, edge_nodes = propagate_min_labels(pairs)
     # docs untouched by any near-dup edge are their own keepers — the
     # single corpus-sized pass (anti join), outside the iteration
     singletons = (
@@ -317,7 +317,7 @@ def clusters_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def min_label_components(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def propagate_min_labels(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Min-label propagation over an undirected (doc_a, doc_b) pair frame.
     Returns (labels, edge_nodes): labels = (doc_id, cluster_id) for every
     node that appears in some pair (cluster_id = component-min doc_id);

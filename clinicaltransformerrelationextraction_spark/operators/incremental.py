@@ -2,11 +2,12 @@
 dedup at 100 TB.
 
 A production corpus is never re-deduped from scratch: the historical
-state is two persisted tables — the LSH band index ``(doc_id, band,
-bkey)`` (``dedup.bands_frame`` output, bucketed by ``(band, bkey)`` in a
-real deployment) and the cluster labels ``(doc_id, cluster_id)``
-(``q_dedup_clusters`` output) — and each new crawl delta is deduped in
-three delta-bounded steps:
+state is persisted tables — the LSH band index ``(doc_id, band, bkey)``
+(``dedup.bands_frame`` output, bucketed by ``(band, bkey)`` in a real
+deployment), the cluster labels ``(doc_id, cluster_id)``
+(``q_dedup_clusters`` output), and optionally the shingle table
+(``dedup.shingle_frame`` output) — and each new crawl delta is deduped
+in three delta-bounded steps:
 
 1. ``incremental_candidate_pairs``: band the DELTA only and equi-join its
    bands against (index ∪ delta bands). Every emitted pair has at least
@@ -47,7 +48,7 @@ from pyspark.sql import functions as F
 from .dedup import (
     bands_frame,
     jaccard_verify,
-    min_label_components,
+    propagate_min_labels,
     pair_shingle_stats,
     shingle_frame,
 )
@@ -179,7 +180,7 @@ def merge_clusters(
         F.coalesce("rep_a", F.col("doc_a")).alias("doc_a"),
         F.coalesce("rep_b", F.col("doc_b")).alias("doc_b"),
     ).filter(F.col("doc_a") != F.col("doc_b"))
-    merged, _ = min_label_components(ea)
+    merged, _ = propagate_min_labels(ea)
     relabel = merged.withColumnRenamed("doc_id", "rep").withColumnRenamed(
         "cluster_id", "merged_cid"
     )

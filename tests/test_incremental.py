@@ -126,6 +126,40 @@ def test_incremental_exact_equals_full(spark):
     _same(exact(old), incremental_exact(exact(old), docs.limit(0)))
 
 
+def test_contraction_merge_is_domain_general(spark):
+    """merge_clusters is not dedup-specific: folding a batch of NEW
+    edges of the canonical KG entity graph into the components of the
+    OLD edge set (by contraction) equals recomputing components over
+    all edges — including merges of two old components bridged only by
+    a new edge, which a hash-based edge split produces plenty of."""
+    from clinicaltransformerrelationextraction_spark.operators.dedup import (
+        propagate_min_labels,
+    )
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        _undirected,
+    )
+
+    und = (
+        _undirected(spark, SF_SMOKE)
+        .toDF("doc_a", "doc_b")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .localCheckpoint()
+    )
+    old_e = und.filter(F.xxhash64("doc_a", "doc_b") % 2 == 0)
+    new_e = und.filter(F.xxhash64("doc_a", "doc_b") % 2 != 0)
+    assert old_e.count() > 0 and new_e.count() > 0
+    old_labels, old_nodes = propagate_min_labels(old_e)
+    new_nodes = (
+        new_e.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(new_e.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .join(old_nodes, "doc_id", "left_anti")
+    )
+    merged = merge_clusters(old_labels, new_e, new_nodes)
+    full, _ = propagate_min_labels(und)
+    _same(merged.select("doc_id", "cluster_id"), full)
+
+
 def test_incremental_degenerate_deltas(spark):
     docs, old, _new = _split(spark)
     empty = docs.limit(0)
