@@ -149,13 +149,25 @@ def _bench_incremental(spark) -> dict:
         incremental_dedup,
     )
 
+    from clinicaltransformerrelationextraction_spark.operators import dedup
+
     docs = ensure_parallelism(
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
     )
     old = docs.filter(F.col("doc_id") % INC_DELTA_MOD != 0)
     new = docs.filter(F.col("doc_id") % INC_DELTA_MOD == 0)
     sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    base = f"/tmp/ctre_inc_state_sf{sf_tag}_m{INC_DELTA_MOD}"
+    # key the cached state by the LSH constants AND the corpus file's
+    # mtime: changing N_SEEDS/BAND_ROWS/JACCARD_MIN or regenerating the
+    # testdata must invalidate the persisted index/labels/shingles, or
+    # the timed ingest would silently join new-constant delta bands
+    # against an old-constant index
+    corpus_mtime = int(os.path.getmtime(f"{SF_DIR}/documents.parquet"))
+    fp = (
+        f"s{dedup.N_SEEDS}b{dedup.BAND_ROWS}j{dedup.JACCARD_MIN}"
+        f"t{corpus_mtime}"
+    )
+    base = f"/tmp/ctre_inc_state_sf{sf_tag}_m{INC_DELTA_MOD}_{fp}"
     idx_p, lab_p, sh_p = f"{base}/index", f"{base}/labels", f"{base}/shingles"
     if not os.path.exists(idx_p + "/_SUCCESS"):
         bands_frame(old).write.mode("overwrite").parquet(idx_p)
@@ -171,21 +183,16 @@ def _bench_incremental(spark) -> dict:
     old_labels = spark.read.parquet(lab_p)
     old_shingles = spark.read.parquet(sh_p)
 
-    def ingest() -> int:
-        _pairs, labels, _idx_delta = incremental_dedup(
+    def ingest(_spark, _sf):
+        return incremental_dedup(
             old, old_index, old_labels, new, old_shingles
-        )
-        return labels.count()
+        )[1]
 
-    ingest()  # warm-up
-    samples: list[float] = []
-    n = 0
-    for _ in range(BENCH_REPEATS):
-        t0 = time.time()
-        n = ingest()
-        samples.append(round(time.time() - t0, 3))
+    # reuse the shared timing discipline (1 warm-up + median of
+    # BENCH_REPEATS, all samples reported)
+    med, samples, n = _time_query(ingest, spark, BENCH_REPEATS)
     return {
-        "incremental_ingest_sec": round(_median(samples), 3),
+        "incremental_ingest_sec": med,
         "incremental_ingest_samples": samples,
         "incremental_delta_frac": round(1.0 / INC_DELTA_MOD, 2),
         "incremental_labels_rows": n,

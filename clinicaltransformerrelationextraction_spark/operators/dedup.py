@@ -125,7 +125,14 @@ def bands_frame(docs: DataFrame) -> DataFrame:
     frame. At 100 TB this IS the persisted dedup index: a daily delta is
     deduped by joining ITS bands against this table (incremental.py)
     instead of re-banding the historical corpus."""
-    sh = digest_frame(shingle_frame(docs))
+    return bands_from_shingles(shingle_frame(docs))
+
+
+def bands_from_shingles(shingles: DataFrame) -> DataFrame:
+    """``bands_frame`` from an already-computed (doc_id, shingles) frame
+    — lets the incremental path shingle its delta ONCE and share the
+    result between banding and the Jaccard verify."""
+    sh = digest_frame(shingles)
     mhs = minhash_cols(F.col("digs"))
     n_bands = N_SEEDS // BAND_ROWS
     band_keys = F.array(

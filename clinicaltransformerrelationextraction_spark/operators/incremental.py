@@ -47,9 +47,10 @@ from pyspark.sql import functions as F
 
 from .dedup import (
     bands_frame,
+    bands_from_shingles,
     jaccard_verify,
-    propagate_min_labels,
     pair_shingle_stats,
+    propagate_min_labels,
     shingle_frame,
 )
 
@@ -87,7 +88,15 @@ def incremental_candidate_pairs(
     delta-old pairs only from the delta row, delta-delta pairs only from
     the lower doc_id. No bucket-group pass over the historical index —
     the corpus never re-bands."""
-    new_b = bands_frame(new_docs).localCheckpoint()
+    return _pairs_from_new_bands(
+        old_index, bands_frame(new_docs).localCheckpoint()
+    )
+
+
+def _pairs_from_new_bands(old_index: DataFrame, new_b: DataFrame) -> DataFrame:
+    """``incremental_candidate_pairs`` core over already-materialized
+    delta bands (``new_b`` must be checkpointed/stable: it appears on
+    both sides of the join below)."""
     all_b = old_index.select("doc_id", "band", "bkey").withColumn(
         "is_new", F.lit(False)
     ).unionByName(new_b.withColumn("is_new", F.lit(True)))
@@ -116,6 +125,7 @@ def incremental_verified_pairs(
     old_docs: DataFrame,
     new_docs: DataFrame,
     old_shingles: DataFrame | None = None,
+    new_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verify of the incremental candidate pairs:
     ``(doc_a, doc_b, inter, uni, jaccard)`` at or above JACCARD_MIN.
@@ -125,24 +135,43 @@ def incremental_verified_pairs(
     ``dedup.shingle_frame`` output — a standard dedup-pipeline artifact;
     a columnar read beats re-tokenizing text) and are otherwise
     recomputed from text — in BOTH cases only for the old docs that
-    actually appear in a candidate pair (left-semi join). The involved
-    set is delta-bounded on corpora whose LSH buckets track true
-    near-dup groups; on boilerplate-heavy corpora (like the synthetic
-    template corpus) candidate buckets can span most of history, which
-    caps the win — measured honestly in BENCH.md."""
+    actually appear in a candidate pair (left-semi join). An old doc
+    missing from ``old_shingles`` (e.g. a stale table that was not
+    appended after a previous ingest) is NOT silently dropped: its
+    shingles are recomputed from ``old_docs`` text via an anti-join
+    backfill, so a gap costs a scan, never a missed near-dup. The
+    involved set is delta-bounded on corpora whose LSH buckets track
+    true near-dup groups; on boilerplate-heavy corpora (like the
+    synthetic template corpus) candidate buckets can span most of
+    history, which caps the win — measured honestly in BENCH.md.
+
+    ``new_shingles``: pass the delta's already-computed shingle frame
+    (``incremental_dedup`` does) to avoid re-shingling the delta."""
     member = (
         cand_pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand_pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    if new_shingles is None:
+        new_shingles = shingle_frame(new_docs.select("doc_id", "text"))
     if old_shingles is not None:
-        old_sh = old_shingles.select("doc_id", "shingles")
+        stored = old_shingles.select("doc_id", "shingles").join(
+            member, "doc_id", "left_semi"
+        )
+        covered = stored.select("doc_id").unionByName(
+            new_docs.select("doc_id")
+        )
+        backfill = shingle_frame(
+            old_docs.select("doc_id", "text")
+            .join(member, "doc_id", "left_semi")
+            .join(covered, "doc_id", "left_anti")
+        )
+        old_sh = stored.unionByName(backfill)
     else:
-        old_sh = shingle_frame(old_docs.select("doc_id", "text"))
-    sh = (
-        old_sh.join(member, "doc_id", "left_semi")
-        .unionByName(shingle_frame(new_docs.select("doc_id", "text")))
-    )
+        old_sh = shingle_frame(old_docs.select("doc_id", "text")).join(
+            member, "doc_id", "left_semi"
+        )
+    sh = old_sh.unionByName(new_shingles)
     stats = pair_shingle_stats(cand_pairs.select("doc_a", "doc_b"), sh)
     return jaccard_verify(stats)
 
@@ -180,6 +209,11 @@ def merge_clusters(
         F.coalesce("rep_a", F.col("doc_a")).alias("doc_a"),
         F.coalesce("rep_b", F.col("doc_b")).alias("doc_b"),
     ).filter(F.col("doc_a") != F.col("doc_b"))
+    # many verified pairs contract onto the same representative edge
+    # (several delta docs hitting one big old cluster); dedupe BEFORE the
+    # fixpoint so the iterated graph is bounded by unique contracted
+    # edges, not raw pair count
+    ea = ea.distinct()
     merged, _ = propagate_min_labels(ea)
     relabel = merged.withColumnRenamed("doc_id", "rep").withColumnRenamed(
         "cluster_id", "merged_cid"
@@ -215,16 +249,24 @@ def incremental_dedup(
     old_labels: DataFrame,
     new_docs: DataFrame,
     old_shingles: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """One delta ingestion step: returns ``(pairs, labels, index_delta)``
-    — the verified new pairs, the updated full label table, and the
-    delta's band index rows (append these to the persisted index; the
-    historical rows are immutable). Pass ``old_shingles`` when the
-    deployment persists the shingle table (see
-    ``incremental_verified_pairs``)."""
-    cand = incremental_candidate_pairs(old_index, new_docs)
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """One delta ingestion step: returns ``(pairs, labels, index_delta,
+    shingle_delta)`` — the verified new pairs, the updated full label
+    table, and the delta's band-index and shingle rows. APPEND both
+    deltas to their persisted tables after the ingest (historical rows
+    are immutable); a shingle table left un-appended is only a
+    performance gap, not a correctness one — the verify backfills
+    missing old shingles from text (see ``incremental_verified_pairs``).
+
+    The delta is shingled exactly ONCE: the checkpointed shingle frame
+    feeds banding, the verify, and the returned shingle delta."""
+    new_sh = shingle_frame(
+        new_docs.select("doc_id", "text")
+    ).localCheckpoint()
+    new_b = bands_from_shingles(new_sh).localCheckpoint()
+    cand = _pairs_from_new_bands(old_index, new_b)
     verified = incremental_verified_pairs(
-        cand, old_docs, new_docs, old_shingles
+        cand, old_docs, new_docs, old_shingles, new_shingles=new_sh
     ).localCheckpoint()
     labels = merge_clusters(old_labels, verified, new_docs)
-    return verified, labels, bands_frame(new_docs)
+    return verified, labels, new_b, new_sh

@@ -87,19 +87,63 @@ def test_incremental_stored_shingles_mode_identical(spark):
 
 
 def test_incremental_dedup_one_call(spark):
+    from clinicaltransformerrelationextraction_spark.operators.dedup import (
+        JACCARD_MIN,
+        shingle_frame,
+    )
+
     docs, old, new = _split(spark)
-    verified, labels, index_delta = incremental_dedup(
+    verified, labels, index_delta, shingle_delta = incremental_dedup(
         old,
         bands_frame(old),
         clusters_frame(old).select("doc_id", "cluster_id"),
         new,
     )
     _same(labels, clusters_frame(docs))
-    # the returned index delta is exactly the delta's band rows
+    # the returned deltas are exactly the delta's band/shingle rows
     _same(index_delta, bands_frame(new))
+    _same(shingle_delta, shingle_frame(new.select("doc_id", "text")))
     # verified pairs pass the same threshold discipline as the corpus
     # query: every returned pair is delta-involving and jaccard >= min
-    assert verified.filter(F.col("jaccard") < 0.5).count() == 0
+    assert verified.filter(F.col("jaccard") < JACCARD_MIN).count() == 0
+
+
+def test_two_successive_ingests(spark):
+    """The day-2 scenario: ingest delta 1, append BOTH returned deltas
+    to the persisted state, ingest delta 2 against the updated state —
+    final labels equal the full recompute. Also covers the
+    stale-shingle-table backfill: a second variant deliberately does
+    NOT append the shingle delta and must still be exact (day-1 docs
+    are old on day 2 but missing from the shingle table)."""
+    from clinicaltransformerrelationextraction_spark.operators.dedup import (
+        shingle_frame,
+    )
+
+    docs, _old, _new = _split(spark)
+    d0 = docs.filter(F.col("doc_id") % 3 == 1)
+    d1 = docs.filter(F.col("doc_id") % 3 == 2)
+    d2 = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = bands_frame(d0)
+    lab = clusters_frame(d0).select("doc_id", "cluster_id")
+    shg = shingle_frame(d0.select("doc_id", "text"))
+
+    _v1, lab1, idx_d1, sh_d1 = incremental_dedup(d0, idx, lab, d1, shg)
+    old2 = d0.unionByName(d1)
+    lab1 = lab1.select("doc_id", "cluster_id")
+    full = clusters_frame(docs)
+
+    # maintained state: append both deltas
+    _v2, lab2, _i, _s = incremental_dedup(
+        old2, idx.unionByName(idx_d1), lab1, d2, shg.unionByName(sh_d1)
+    )
+    _same(lab2, full)
+
+    # stale shingle table (index still appended — the index is the
+    # correctness-critical table): backfill must recompute d1 shingles
+    _v3, lab3, _i, _s = incremental_dedup(
+        old2, idx.unionByName(idx_d1), lab1, d2, shg
+    )
+    _same(lab3, full)
 
 
 def test_incremental_exact_equals_full(spark):
