@@ -176,6 +176,96 @@ def incremental_verified_pairs(
     return jaccard_verify(stats)
 
 
+# --- mergeable-sketch maintenance -------------------------------------------
+# The cardinality sketches (KMV k-min set, HLL registers) are the other
+# persisted-state tables an incremental pipeline maintains: both merge by
+# a one-pass aggregate over (old state ∪ delta state), so corpus-level
+# stats stay current without ever rescanning history. The hash/register
+# derivations mirror textstats.q_kmv_distinct / q_hll_distinct expression
+# by expression (constants imported from there — single source of truth);
+# the tie-back tests pin the reimplementation against those
+# driver-verified queries' own output columns.
+
+
+def lang_shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(lang, h) — the 48-bit md5-prefix shingle hashes both sketches are
+    built from (textstats.py q_kmv_distinct/q_hll_distinct derivation)."""
+    from .textstats import bigrams_expr
+
+    toks = F.split("text", " ")
+    bg = docs.select(
+        "lang", F.explode(bigrams_expr(toks)).alias("shingle")
+    ).distinct()
+    return bg.select(
+        "lang",
+        F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10)
+        .cast("long").alias("h"),
+    )
+
+
+def kmv_sketch(docs: DataFrame) -> DataFrame:
+    """Per-language KMV state: the K smallest DISTINCT hash values,
+    ``(lang, h)`` — set semantics, so sketch-of-union == merge of
+    sketches is an identity, not an approximation."""
+    from pyspark.sql import Window
+
+    from .textstats import K_MV
+
+    h = lang_shingle_hashes(docs).distinct()
+    w = Window.partitionBy("lang").orderBy("h")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K_MV)
+        .select("lang", "h")
+    )
+
+
+def kmv_merge(old_sketch: DataFrame, delta_sketch: DataFrame) -> DataFrame:
+    """K-min of the union of two K-min sets — exactly the K-min of the
+    union of the underlying sets (pytest-pinned)."""
+    from pyspark.sql import Window
+
+    from .textstats import K_MV
+
+    u = old_sketch.unionByName(delta_sketch).distinct()
+    w = Window.partitionBy("lang").orderBy("h")
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K_MV)
+        .select("lang", "h")
+    )
+
+
+def hll_registers(docs: DataFrame) -> DataFrame:
+    """Per-(lang, bucket) HLL register state ``(lang, bucket, mj)`` —
+    constant 64 registers per language, exact integer arithmetic
+    (textstats.q_hll_distinct's register derivation)."""
+    from .textstats import HLL_MAXR, HLL_WBITS
+
+    h = lang_shingle_hashes(docs)
+    w = F.col("h") % F.lit(1 << HLL_WBITS)
+    reg = h.select(
+        "lang",
+        F.expr(f"h div {1 << HLL_WBITS}").alias("bucket"),
+        F.when(w == 0, F.lit(HLL_MAXR)).otherwise(
+            F.lit(HLL_MAXR) - F.length(F.bin(w))
+        ).alias("rho"),
+    )
+    return reg.groupBy("lang", "bucket").agg(F.max("rho").alias("mj"))
+
+
+def hll_merge(old_regs: DataFrame, delta_regs: DataFrame) -> DataFrame:
+    """Element-wise register max — THE property that makes HLL the
+    10^12-scale cardinality sketch: merging is one map-side-combinable
+    aggregate over (state ∪ delta), byte-identical to recomputing the
+    registers over the union corpus (pytest-pinned)."""
+    return (
+        old_regs.unionByName(delta_regs)
+        .groupBy("lang", "bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+
+
 def merge_clusters(
     old_labels: DataFrame, verified_pairs: DataFrame, new_docs: DataFrame
 ) -> DataFrame:

@@ -204,6 +204,66 @@ def test_contraction_merge_is_domain_general(spark):
     _same(merged.select("doc_id", "cluster_id"), full)
 
 
+def test_kmv_sketch_merge_identity_and_query_tieback(spark):
+    """K-min of (k-min(old) ∪ k-min(delta)) == k-min(full) — the set
+    identity that makes KMV incremental — and the merged sketch's
+    (k_actual, kth) reproduce the oracle-verified q_kmv_distinct's own
+    columns on the full corpus."""
+    from clinicaltransformerrelationextraction_spark.operators.incremental import (
+        kmv_merge,
+        kmv_sketch,
+    )
+    from clinicaltransformerrelationextraction_spark.operators.textstats import (
+        q_kmv_distinct,
+    )
+
+    docs, old, new = _split(spark)
+    merged = kmv_merge(kmv_sketch(old), kmv_sketch(new))
+    _same(merged, kmv_sketch(docs))
+    from_sketch = merged.groupBy("lang").agg(
+        F.max("h").alias("kth"), F.count("*").alias("k_actual")
+    )
+    from_query = q_kmv_distinct(spark, SF_SMOKE).select(
+        "lang", "kth", "k_actual"
+    )
+    _same(from_sketch.select("lang", "kth", "k_actual"), from_query)
+
+
+def test_hll_register_merge_identity_and_query_tieback(spark):
+    """Element-wise register max over (old ∪ delta) equals the
+    registers of the union corpus byte-for-byte, and the merged
+    registers reproduce q_hll_distinct's (n_buckets_hit, s_int) exactly
+    (all-integer restatement)."""
+    from clinicaltransformerrelationextraction_spark.operators.incremental import (
+        hll_merge,
+        hll_registers,
+    )
+    from clinicaltransformerrelationextraction_spark.operators.textstats import (
+        HLL_M,
+        HLL_MAXR,
+        q_hll_distinct,
+    )
+
+    docs, old, new = _split(spark)
+    merged = hll_merge(hll_registers(old), hll_registers(new))
+    _same(merged, hll_registers(docs))
+    from_regs = merged.groupBy("lang").agg(
+        F.count("*").alias("n_buckets_hit"),
+        F.sum(F.expr(f"shiftleft(1L, {HLL_MAXR} - mj)")).alias("s_hit"),
+    ).select(
+        "lang", "n_buckets_hit",
+        (
+            F.col("s_hit")
+            + (F.lit(HLL_M) - F.col("n_buckets_hit"))
+            * F.lit(1 << HLL_MAXR)
+        ).alias("s_int"),
+    )
+    from_query = q_hll_distinct(spark, SF_SMOKE).select(
+        "lang", "n_buckets_hit", "s_int"
+    )
+    _same(from_regs, from_query)
+
+
 def test_incremental_degenerate_deltas(spark):
     docs, old, _new = _split(spark)
     empty = docs.limit(0)
