@@ -236,6 +236,23 @@ def cmd_analyze(args: argparse.Namespace, spark=None) -> dict:
     return out
 
 
+def cmd_ingest(args: argparse.Namespace, spark=None) -> dict:
+    """Incremental corpus ingest: dedup a documents delta against the
+    persisted state directory (LSH band index, cluster labels, exact-hash
+    index, KMV/HLL sketches) and commit the updated state. First call on
+    an empty state dir bootstraps. See plans/ingest.py for the layout and
+    crash contract."""
+    from .plans.ingest import IngestState
+    from .session import get_spark
+
+    spark = spark or get_spark(app_name="ctre-ingest")
+    state = IngestState(args.state)
+    out = state.ingest(spark, spark.read.parquet(args.delta))
+    if args.expire_keep is not None:
+        out["expired"] = len(state.expire(spark, keep_last=args.expire_keep))
+    return out
+
+
 def cmd_eval(args: argparse.Namespace, spark=None) -> dict:
     from .operators.evaluation import relation_match_prf
     from .session import get_spark
@@ -274,9 +291,21 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     p_an.add_argument("--queries", nargs="*", default=None,
                       help=f"subset of {sorted(ANALYZE_QUERIES)} "
                            "(default: all)")
+    p_ing = sub.add_parser(
+        "ingest",
+        help="incremental dedup of a documents delta into a state dir",
+    )
+    p_ing.add_argument("--state", required=True,
+                       help="persisted state dir (created on first ingest)")
+    p_ing.add_argument("--delta", required=True,
+                       help="documents parquet of the new crawl delta")
+    p_ing.add_argument("--expire-keep", type=int, default=None,
+                       help="after commit, retain only this many compacted "
+                            "state versions (default: keep all)")
     args = top.parse_args(argv)
     fn = {"predict": cmd_predict, "resume": cmd_resume, "eval": cmd_eval,
-          "featurize": cmd_featurize, "analyze": cmd_analyze}
+          "featurize": cmd_featurize, "analyze": cmd_analyze,
+          "ingest": cmd_ingest}
     out = fn[args.cmd](args, spark=spark)
     print(json.dumps(out))
     return out

@@ -1,0 +1,239 @@
+"""Versioned ingest state — the persisted-table side of incremental dedup.
+
+``operators/incremental.py`` defines the delta-vs-index MATH (each
+function takes the old state as DataFrames); this module is the
+OPERATIONAL half: a state directory that owns those tables across
+ingests, with the same commit discipline as the triples ledger
+(immutable data dirs + one atomically-renamed manifest, plans/ledger.py).
+
+Layout under ``root/``::
+
+    MANIFEST.json            # the ONLY mutable file (tmp + rename-over)
+    docs/ingest_00001/       # append-only logs: one immutable parquet
+    bands/ingest_00001/      #   dir per ingest; the manifest lists the
+    shingles/ingest_00001/   #   committed dirs, readers union exactly
+    pairs/ingest_00002/      #   those (orphans from a crash are invisible)
+    labels/v_00002/          # compacted states: rewritten per ingest into
+    hash_index/v_00002/      #   a NEW version dir; old versions stay
+    kmv/v_00002/             #   readable until expire()
+    hll/v_00002/
+
+Crash contract: every data dir is written BEFORE the manifest rename, so
+a crash mid-ingest leaves the previous manifest fully consistent; the
+retried ingest reuses the same version number and ``mode("overwrite")``
+replaces any partial dir. Readers never lock — they see either the old
+or the new manifest, both complete.
+
+Scale notes (the 100 TB shape this models): the append logs are the
+tables a real deployment bucket-partitions — ``bands`` by (band, bkey)
+so a delta's LSH probe join moves only the delta, ``shingles`` by doc_id
+for the verify's semi-joined columnar read. The compacted states are
+slim (labels: 2 longs + a flag per doc; hash_index: one row per distinct
+content hash; sketches: ≤K rows per language) — rewriting them per
+ingest is a narrow shuffle-free scan, not a corpus rewrite. The corpus
+TEXT enters an ingest exactly once (its own delta), plus the rare
+backfill scan when the shingle log has gaps.
+
+Reference anchor: the reference re-reads the full corpus per run
+(src/relation_extraction.py, src/batch_prediction.py:92-136) — it has no
+between-run state at all; this is beyond-reference operational surface.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import bands_frame, shingle_frame
+from ..operators.incremental import (
+    hll_merge,
+    hll_registers,
+    incremental_dedup,
+    incremental_exact,
+    kmv_merge,
+    kmv_sketch,
+)
+from .ledger import _fs_exists, _hadoop_fs, _has_scheme, _read_text, _write_text
+
+APPEND_TABLES = ("docs", "bands", "shingles", "pairs")
+COMPACT_TABLES = ("labels", "hash_index", "kmv", "hll")
+
+
+def _exact_partial(docs: DataFrame) -> DataFrame:
+    """The delta's contribution to the exact-dedup hash index (the
+    mergeable-partial shape ``incremental_exact`` folds)."""
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+class IngestState:
+    """Owns the persisted dedup/sketch state under ``root`` and applies
+    one delta per :meth:`ingest` call (bootstrap = first ingest)."""
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+
+    # -- manifest -----------------------------------------------------------
+
+    @property
+    def manifest_path(self) -> str:
+        return f"{self.root}/MANIFEST.json"
+
+    def manifest(self) -> dict | None:
+        raw = _read_text(self.manifest_path)
+        return json.loads(raw) if raw is not None else None
+
+    # -- reads (manifest-resolved) ------------------------------------------
+
+    def _append_paths(self, table: str) -> list[str]:
+        m = self.manifest()
+        return list(m["appends"][table]) if m else []
+
+    def read_append(self, spark: SparkSession, table: str) -> DataFrame:
+        paths = self._append_paths(table)
+        if not paths:
+            raise ValueError(
+                f"ingest state at {self.root} has no committed "
+                f"'{table}' data (empty or missing manifest)"
+            )
+        return spark.read.parquet(*paths)
+
+    def read_compact(self, spark: SparkSession, table: str) -> DataFrame:
+        m = self.manifest()
+        if m is None:
+            raise ValueError(f"no manifest at {self.manifest_path}")
+        return spark.read.parquet(m["compacted"][table])
+
+    def docs(self, spark: SparkSession) -> DataFrame:
+        return self.read_append(spark, "docs")
+
+    def labels(self, spark: SparkSession) -> DataFrame:
+        return self.read_compact(spark, "labels")
+
+    # -- the one write path -------------------------------------------------
+
+    def ingest(self, spark: SparkSession, new_docs: DataFrame) -> dict:
+        """Apply one delta: dedup it against the persisted index, fold the
+        exact-hash index and the KMV/HLL sketches, commit the new state.
+        Returns the ingest stats (also recorded in the manifest)."""
+        new_docs = new_docs.select("doc_id", "text", "lang")
+        m = self.manifest()
+        v = (m["version"] + 1) if m else 1
+        if m:
+            old_docs = self.read_append(spark, "docs")
+            old_index = self.read_append(spark, "bands")
+            old_shingles = self.read_append(spark, "shingles")
+            old_labels = self.read_compact(spark, "labels")
+            old_hash = self.read_compact(spark, "hash_index")
+            old_kmv = self.read_compact(spark, "kmv")
+            old_hll = self.read_compact(spark, "hll")
+        else:
+            # bootstrap: empty "old" state derived from the delta's own
+            # constructors, so the schemas can never drift from the real
+            # tables' (no hand-maintained schema strings)
+            zero = new_docs.limit(0)
+            old_docs = zero
+            old_index = bands_frame(zero)
+            old_shingles = shingle_frame(zero)
+            old_labels = zero.select(
+                "doc_id",
+                F.col("doc_id").alias("cluster_id"),
+                F.lit(1).alias("is_keeper"),
+            )
+            old_hash = _exact_partial(zero)
+            old_kmv = kmv_sketch(zero)
+            old_hll = hll_registers(zero)
+
+        verified, labels, new_b, new_sh = incremental_dedup(
+            old_docs, old_index, old_labels, new_docs,
+            old_shingles=old_shingles if m else None,
+        )
+        hash_index = incremental_exact(old_hash, new_docs)
+        kmv = kmv_merge(old_kmv, kmv_sketch(new_docs))
+        hll = hll_merge(old_hll, hll_registers(new_docs))
+
+        tag = f"{v:05d}"
+        append_writes = {
+            "docs": new_docs, "bands": new_b,
+            "shingles": new_sh, "pairs": verified,
+        }
+        appends = dict(m["appends"]) if m else {
+            t: [] for t in APPEND_TABLES
+        }
+        for t, df in append_writes.items():
+            path = f"{self.root}/{t}/ingest_{tag}"
+            df.write.mode("overwrite").parquet(path)
+            appends[t] = appends[t] + [path]
+        compacted = {}
+        for t, df in (("labels", labels), ("hash_index", hash_index),
+                      ("kmv", kmv), ("hll", hll)):
+            path = f"{self.root}/{t}/v_{tag}"
+            df.write.mode("overwrite").parquet(path)
+            compacted[t] = path
+
+        # stats from the COMMITTED files (cheap: all slim tables)
+        n_delta = spark.read.parquet(appends["docs"][-1]).count()
+        n_pairs = spark.read.parquet(appends["pairs"][-1]).count()
+        lab = spark.read.parquet(compacted["labels"])
+        agg = lab.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("cluster_id").alias("c"),
+        ).first()
+        stats = {
+            "version": v, "n_delta_docs": n_delta,
+            "n_new_verified_pairs": n_pairs,
+            "n_docs_total": agg["n"], "n_clusters_total": agg["c"],
+        }
+        manifest = {"version": v, "appends": appends,
+                    "compacted": compacted, "stats": stats}
+        _write_text(self.manifest_path, json.dumps(manifest, indent=1))
+        return stats
+
+    # -- retention ----------------------------------------------------------
+
+    def expire(self, spark: SparkSession, keep_last: int = 1) -> list[str]:
+        """Delete compacted version dirs (and crash-orphaned append dirs)
+        the manifest does not reference, keeping the newest ``keep_last``
+        compacted versions. The append LOG is never expired — it is the
+        state. Returns the deleted paths."""
+        m = self.manifest()
+        if m is None:
+            return []
+        live = {p for ps in m["appends"].values() for p in ps}
+        # version tags come from DISK (the manifest only records the
+        # current version); always keep the manifest-referenced tag even
+        # if keep_last would age it out
+        disk_tags: set[str] = set()
+        for t in COMPACT_TABLES:
+            troot = f"{self.root}/{t}"
+            if not _fs_exists(spark, troot):
+                continue
+            fs, hroot = _hadoop_fs(spark, troot)
+            for st in fs.listStatus(hroot):
+                name = st.getPath().getName()
+                if name.startswith("v_"):
+                    disk_tags.add(name[2:])
+        keep_tags = set(sorted(disk_tags)[-keep_last:] if keep_last else [])
+        keep_tags |= {p.rsplit("v_", 1)[1] for p in m["compacted"].values()}
+        deleted: list[str] = []
+        for t in COMPACT_TABLES + APPEND_TABLES:
+            troot = f"{self.root}/{t}"
+            if not _fs_exists(spark, troot):
+                continue
+            fs, hroot = _hadoop_fs(spark, troot)
+            for st in fs.listStatus(hroot):
+                path, name = st.getPath(), st.getPath().getName()
+                full = path.toString() if _has_scheme(self.root) else (
+                    f"{troot}/{name}"
+                )
+                ok = (full in live) or (
+                    name.startswith("v_") and name[2:] in keep_tags
+                )
+                if not ok:
+                    fs.delete(path, True)
+                    deleted.append(full)
+        return deleted
