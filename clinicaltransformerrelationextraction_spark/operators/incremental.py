@@ -55,6 +55,18 @@ from .dedup import (
 )
 
 
+def exact_partial(docs: DataFrame) -> DataFrame:
+    """A corpus slice's contribution to the exact-dedup content-hash
+    index — the mergeable-partial shape (``q_dedup_exact`` output:
+    ``(text_hash, keeper_doc_id, n_docs)``). The SINGLE definition of
+    this aggregate: ``incremental_exact`` folds these, and the ingest
+    state dir (plans/ingest.py) bootstraps/verifies with it."""
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 def incremental_exact(old_hash_index: DataFrame, new_docs: DataFrame) -> DataFrame:
     """Incremental EXACT dedup: fold a delta into the persisted content-
     hash index (``q_dedup_exact`` output shape: ``(text_hash,
@@ -63,12 +75,8 @@ def incremental_exact(old_hash_index: DataFrame, new_docs: DataFrame) -> DataFra
     (index-as-partials ∪ delta-partials); the historical CORPUS is never
     re-hashed, only its index rows move. Pytest-pinned equal to
     ``q_dedup_exact`` on the full corpus for any split."""
-    delta = new_docs.groupBy(F.md5("text").alias("text_hash")).agg(
-        F.min("doc_id").alias("keeper_doc_id"),
-        F.count("*").alias("n_docs"),
-    )
     return (
-        old_hash_index.unionByName(delta)
+        old_hash_index.unionByName(exact_partial(new_docs))
         .groupBy("text_hash")
         .agg(
             F.min("keeper_doc_id").alias("keeper_doc_id"),
@@ -122,7 +130,7 @@ def _pairs_from_new_bands(old_index: DataFrame, new_b: DataFrame) -> DataFrame:
 
 def incremental_verified_pairs(
     cand_pairs: DataFrame,
-    old_docs: DataFrame,
+    old_docs: DataFrame | None,
     new_docs: DataFrame,
     old_shingles: DataFrame | None = None,
     new_shingles: DataFrame | None = None,
@@ -139,7 +147,12 @@ def incremental_verified_pairs(
     missing from ``old_shingles`` (e.g. a stale table that was not
     appended after a previous ingest) is NOT silently dropped: its
     shingles are recomputed from ``old_docs`` text via an anti-join
-    backfill, so a gap costs a scan, never a missed near-dup. The
+    backfill, so a gap costs a scan, never a missed near-dup. When the
+    shingle log is complete BY CONSTRUCTION (the versioned state dir,
+    plans/ingest.py, appends it atomically with the manifest), pass
+    ``old_docs=None`` with ``old_shingles`` set: the backfill branch —
+    and with it the only full-history text scan on the steady-state
+    ingest path — is omitted from the plan entirely. The
     involved set is delta-bounded on corpora whose LSH buckets track
     true near-dup groups; on boilerplate-heavy corpora (like the
     synthetic template corpus) candidate buckets can span most of
@@ -158,15 +171,23 @@ def incremental_verified_pairs(
         stored = old_shingles.select("doc_id", "shingles").join(
             member, "doc_id", "left_semi"
         )
-        covered = stored.select("doc_id").unionByName(
-            new_docs.select("doc_id")
+        if old_docs is None:
+            old_sh = stored
+        else:
+            covered = stored.select("doc_id").unionByName(
+                new_docs.select("doc_id")
+            )
+            backfill = shingle_frame(
+                old_docs.select("doc_id", "text")
+                .join(member, "doc_id", "left_semi")
+                .join(covered, "doc_id", "left_anti")
+            )
+            old_sh = stored.unionByName(backfill)
+    elif old_docs is None:
+        raise ValueError(
+            "incremental_verified_pairs needs old_shingles, old_docs, "
+            "or both (got neither)"
         )
-        backfill = shingle_frame(
-            old_docs.select("doc_id", "text")
-            .join(member, "doc_id", "left_semi")
-            .join(covered, "doc_id", "left_anti")
-        )
-        old_sh = stored.unionByName(backfill)
     else:
         old_sh = shingle_frame(old_docs.select("doc_id", "text")).join(
             member, "doc_id", "left_semi"
@@ -203,15 +224,23 @@ def lang_shingle_hashes(docs: DataFrame) -> DataFrame:
     )
 
 
-def kmv_sketch(docs: DataFrame) -> DataFrame:
+def kmv_sketch(
+    docs: DataFrame | None, hashes: DataFrame | None = None
+) -> DataFrame:
     """Per-language KMV state: the K smallest DISTINCT hash values,
     ``(lang, h)`` — set semantics, so sketch-of-union == merge of
-    sketches is an identity, not an approximation."""
+    sketches is an identity, not an approximation. Pass ``hashes``
+    (a ``lang_shingle_hashes`` frame) to share one hash pass with
+    ``hll_registers`` — plans/ingest.py does."""
     from pyspark.sql import Window
 
     from .textstats import K_MV
 
-    h = lang_shingle_hashes(docs).distinct()
+    if hashes is None:
+        if docs is None:
+            raise ValueError("kmv_sketch needs docs or hashes (got neither)")
+        hashes = lang_shingle_hashes(docs)
+    h = hashes.distinct()
     w = Window.partitionBy("lang").orderBy("h")
     return (
         h.withColumn("rn", F.row_number().over(w))
@@ -236,13 +265,18 @@ def kmv_merge(old_sketch: DataFrame, delta_sketch: DataFrame) -> DataFrame:
     )
 
 
-def hll_registers(docs: DataFrame) -> DataFrame:
+def hll_registers(
+    docs: DataFrame | None, hashes: DataFrame | None = None
+) -> DataFrame:
     """Per-(lang, bucket) HLL register state ``(lang, bucket, mj)`` —
     constant 64 registers per language, exact integer arithmetic
-    (textstats.q_hll_distinct's register derivation)."""
+    (textstats.q_hll_distinct's register derivation). ``hashes`` as in
+    :func:`kmv_sketch` (duplicate h rows are harmless under max)."""
     from .textstats import HLL_MAXR, HLL_WBITS
 
-    h = lang_shingle_hashes(docs)
+    if hashes is None and docs is None:
+        raise ValueError("hll_registers needs docs or hashes (got neither)")
+    h = hashes if hashes is not None else lang_shingle_hashes(docs)
     w = F.col("h") % F.lit(1 << HLL_WBITS)
     reg = h.select(
         "lang",
@@ -334,7 +368,7 @@ def merge_clusters(
 
 
 def incremental_dedup(
-    old_docs: DataFrame,
+    old_docs: DataFrame | None,
     old_index: DataFrame,
     old_labels: DataFrame,
     new_docs: DataFrame,
@@ -347,6 +381,9 @@ def incremental_dedup(
     are immutable); a shingle table left un-appended is only a
     performance gap, not a correctness one — the verify backfills
     missing old shingles from text (see ``incremental_verified_pairs``).
+    ``old_docs=None`` (with ``old_shingles`` set) declares the shingle
+    log complete and omits the backfill's full-history text scan from
+    the plan — the steady-state mode of the versioned state dir.
 
     The delta is shingled exactly ONCE: the checkpointed shingle frame
     feeds banding, the verify, and the returned shingle delta."""

@@ -119,11 +119,16 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     toks = F.split("text", " ")
     bigrams = bigrams_expr(toks)
     bg = d.select("lang", F.explode(bigrams).alias("shingle")).distinct()
+    # distinct H VALUES, not distinct shingles: two shingles colliding in
+    # the 48-bit prefix must contribute ONE sketch entry, else the sketch
+    # is not mergeable (k-min of a union must equal k-min of merged k-min
+    # sets — incremental.kmv_sketch/kmv_merge share this derivation and
+    # are pytest-pinned to these columns)
     h = bg.select(
         "lang",
         F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10)
         .cast("long").alias("h"),
-    )
+    ).distinct()
     w = Window.partitionBy("lang").orderBy("h")
     sk = (
         h.withColumn("rn", F.row_number().over(w))

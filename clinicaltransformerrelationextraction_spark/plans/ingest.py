@@ -31,8 +31,10 @@ for the verify's semi-joined columnar read. The compacted states are
 slim (labels: 2 longs + a flag per doc; hash_index: one row per distinct
 content hash; sketches: ≤K rows per language) — rewriting them per
 ingest is a narrow shuffle-free scan, not a corpus rewrite. The corpus
-TEXT enters an ingest exactly once (its own delta), plus the rare
-backfill scan when the shingle log has gaps.
+TEXT enters an ingest exactly once — its own delta: because the shingle
+log is appended under the same manifest commit as everything else, the
+state dir passes ``old_docs=None`` to the verify, which drops the text
+backfill branch (the only possible full-history scan) from the plan.
 
 Reference anchor: the reference re-reads the full corpus per run
 (src/relation_extraction.py, src/batch_prediction.py:92-136) — it has no
@@ -48,26 +50,23 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import bands_frame, shingle_frame
 from ..operators.incremental import (
+    exact_partial,
     hll_merge,
     hll_registers,
     incremental_dedup,
     incremental_exact,
     kmv_merge,
     kmv_sketch,
+    lang_shingle_hashes,
 )
-from .ledger import _fs_exists, _hadoop_fs, _has_scheme, _read_text, _write_text
+from .ledger import _fs_exists, _hadoop_fs, _read_text, _write_text
 
 APPEND_TABLES = ("docs", "bands", "shingles", "pairs")
 COMPACT_TABLES = ("labels", "hash_index", "kmv", "hll")
 
 
-def _exact_partial(docs: DataFrame) -> DataFrame:
-    """The delta's contribution to the exact-dedup hash index (the
-    mergeable-partial shape ``incremental_exact`` folds)."""
-    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
-        F.min("doc_id").alias("keeper_doc_id"),
-        F.count("*").alias("n_docs"),
-    )
+def _basename(path: str) -> str:
+    return path.rstrip("/").rsplit("/", 1)[-1]
 
 
 class IngestState:
@@ -88,13 +87,16 @@ class IngestState:
         return json.loads(raw) if raw is not None else None
 
     # -- reads (manifest-resolved) ------------------------------------------
+    # Pass the same ``manifest`` dict to several reads to resolve them all
+    # against ONE committed snapshot (ingest() does); each call otherwise
+    # re-reads the manifest, which is per-call — not multi-table —
+    # consistency under a concurrent commit.
 
-    def _append_paths(self, table: str) -> list[str]:
-        m = self.manifest()
-        return list(m["appends"][table]) if m else []
-
-    def read_append(self, spark: SparkSession, table: str) -> DataFrame:
-        paths = self._append_paths(table)
+    def read_append(
+        self, spark: SparkSession, table: str, manifest: dict | None = None
+    ) -> DataFrame:
+        m = manifest or self.manifest()
+        paths = list(m["appends"][table]) if m else []
         if not paths:
             raise ValueError(
                 f"ingest state at {self.root} has no committed "
@@ -102,8 +104,10 @@ class IngestState:
             )
         return spark.read.parquet(*paths)
 
-    def read_compact(self, spark: SparkSession, table: str) -> DataFrame:
-        m = self.manifest()
+    def read_compact(
+        self, spark: SparkSession, table: str, manifest: dict | None = None
+    ) -> DataFrame:
+        m = manifest or self.manifest()
         if m is None:
             raise ValueError(f"no manifest at {self.manifest_path}")
         return spark.read.parquet(m["compacted"][table])
@@ -124,13 +128,18 @@ class IngestState:
         m = self.manifest()
         v = (m["version"] + 1) if m else 1
         if m:
-            old_docs = self.read_append(spark, "docs")
-            old_index = self.read_append(spark, "bands")
-            old_shingles = self.read_append(spark, "shingles")
-            old_labels = self.read_compact(spark, "labels")
-            old_hash = self.read_compact(spark, "hash_index")
-            old_kmv = self.read_compact(spark, "kmv")
-            old_hll = self.read_compact(spark, "hll")
+            # old_docs stays None: the shingle log is complete by
+            # construction (appended under the same manifest commit), so
+            # the verify's text backfill — the only full-history scan —
+            # is omitted from the plan; the docs log is the system of
+            # record for READERS, never rescanned by an ingest
+            old_docs = None
+            old_index = self.read_append(spark, "bands", m)
+            old_shingles = self.read_append(spark, "shingles", m)
+            old_labels = self.read_compact(spark, "labels", m)
+            old_hash = self.read_compact(spark, "hash_index", m)
+            old_kmv = self.read_compact(spark, "kmv", m)
+            old_hll = self.read_compact(spark, "hll", m)
         else:
             # bootstrap: empty "old" state derived from the delta's own
             # constructors, so the schemas can never drift from the real
@@ -144,7 +153,7 @@ class IngestState:
                 F.col("doc_id").alias("cluster_id"),
                 F.lit(1).alias("is_keeper"),
             )
-            old_hash = _exact_partial(zero)
+            old_hash = exact_partial(zero)
             old_kmv = kmv_sketch(zero)
             old_hll = hll_registers(zero)
 
@@ -153,8 +162,10 @@ class IngestState:
             old_shingles=old_shingles if m else None,
         )
         hash_index = incremental_exact(old_hash, new_docs)
-        kmv = kmv_merge(old_kmv, kmv_sketch(new_docs))
-        hll = hll_merge(old_hll, hll_registers(new_docs))
+        # one hash pass over the delta feeds BOTH sketches
+        delta_h = lang_shingle_hashes(new_docs).localCheckpoint()
+        kmv = kmv_merge(old_kmv, kmv_sketch(None, hashes=delta_h))
+        hll = hll_merge(old_hll, hll_registers(None, hashes=delta_h))
 
         tag = f"{v:05d}"
         append_writes = {
@@ -203,10 +214,19 @@ class IngestState:
         m = self.manifest()
         if m is None:
             return []
-        live = {p for ps in m["appends"].values() for p in ps}
+        # compare BASENAMES, never full path strings: Hadoop listStatus
+        # normalizes schemes (file:///x -> file:/x), so a string compare
+        # against manifest paths would mark every live dir dead and
+        # delete the state (the ledger's expire_snapshots learned the
+        # same lesson, plans/ledger.py:346-350); ingest_<tag>/v_<tag>
+        # basenames are unique within each table root
+        live = {
+            t: {_basename(p) for p in ps} for t, ps in m["appends"].items()
+        }
         # version tags come from DISK (the manifest only records the
-        # current version); always keep the manifest-referenced tag even
-        # if keep_last would age it out
+        # current version), ordered NUMERICALLY (lexicographic order
+        # breaks when the zero-padded tag overflows five digits); always
+        # keep the manifest-referenced tag even if keep_last ages it out
         disk_tags: set[str] = set()
         for t in COMPACT_TABLES:
             troot = f"{self.root}/{t}"
@@ -215,10 +235,14 @@ class IngestState:
             fs, hroot = _hadoop_fs(spark, troot)
             for st in fs.listStatus(hroot):
                 name = st.getPath().getName()
-                if name.startswith("v_"):
+                if name.startswith("v_") and name[2:].isdigit():
                     disk_tags.add(name[2:])
-        keep_tags = set(sorted(disk_tags)[-keep_last:] if keep_last else [])
-        keep_tags |= {p.rsplit("v_", 1)[1] for p in m["compacted"].values()}
+        keep_tags = set(
+            sorted(disk_tags, key=int)[-keep_last:] if keep_last else []
+        )
+        keep_tags |= {
+            _basename(p)[2:] for p in m["compacted"].values()
+        }
         deleted: list[str] = []
         for t in COMPACT_TABLES + APPEND_TABLES:
             troot = f"{self.root}/{t}"
@@ -227,13 +251,10 @@ class IngestState:
             fs, hroot = _hadoop_fs(spark, troot)
             for st in fs.listStatus(hroot):
                 path, name = st.getPath(), st.getPath().getName()
-                full = path.toString() if _has_scheme(self.root) else (
-                    f"{troot}/{name}"
-                )
-                ok = (full in live) or (
+                ok = (name in live.get(t, ())) or (
                     name.startswith("v_") and name[2:] in keep_tags
                 )
                 if not ok:
                     fs.delete(path, True)
-                    deleted.append(full)
+                    deleted.append(f"{troot}/{name}")
         return deleted

@@ -580,7 +580,9 @@ bg AS (
   WHERE len(tl) >= 2
 ),
 h AS (
-  SELECT lang, ({hex12})::BIGINT AS h
+  -- distinct h VALUES (prefix collisions collapse), matching the
+  -- mergeable-KMV set semantics of the Spark side
+  SELECT DISTINCT lang, ({hex12})::BIGINT AS h
   FROM (SELECT lang, md5(shingle) AS hx FROM bg)
 ),
 rk AS (

@@ -23,13 +23,11 @@ from clinicaltransformerrelationextraction_spark.operators.dedup import (
     clusters_frame,
 )
 from clinicaltransformerrelationextraction_spark.operators.incremental import (
+    exact_partial,
     hll_registers,
     kmv_sketch,
 )
-from clinicaltransformerrelationextraction_spark.plans.ingest import (
-    IngestState,
-    _exact_partial,
-)
+from clinicaltransformerrelationextraction_spark.plans.ingest import IngestState
 from tests.conftest import SF_SMOKE
 
 
@@ -64,7 +62,7 @@ def test_sequential_ingests_match_full_recompute(spark, tmp_path):
     assert st3["n_docs_total"] == docs.count()
 
     _same(s.labels(spark), clusters_frame(docs))
-    _same(s.read_compact(spark, "hash_index"), _exact_partial(docs))
+    _same(s.read_compact(spark, "hash_index"), exact_partial(docs))
     _same(s.read_compact(spark, "kmv"), kmv_sketch(docs))
     _same(s.read_compact(spark, "hll"), hll_registers(docs))
     # the docs log IS the corpus
