@@ -199,6 +199,22 @@ def _bench_incremental(spark) -> dict:
     }
 
 
+def _cpu_calibration() -> float:
+    """Single-thread pure-Python spin, fixed iteration count — a host-speed
+    constant recorded inside the bench JSON. Round-to-round wall-time
+    comparisons on this shared host are only meaningful relative to this
+    number: an idle-host r5 run measured EVERY headline query a uniform
+    ~1.35x over r4 (scan-only TPC-H q1 included, code untouched), which is
+    host clock/steal drift, not a regression. Dividing by this constant
+    cancels it."""
+    t0 = time.time()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    assert s == 199999990000000
+    return round(time.time() - t0, 3)
+
+
 def run_bench() -> dict:
     import __spark_entry__ as entry
 
@@ -208,6 +224,7 @@ def run_bench() -> dict:
     # load average around the run puts contamination evidence INSIDE the
     # recorded JSON instead of requiring a separate forensic probe.
     load_before = os.getloadavg()
+    pyloop = _cpu_calibration()
     spark = _session(CPUS)
     _warm_python_workers(spark)
     qs = entry.queries()
@@ -250,6 +267,10 @@ def run_bench() -> dict:
         "host_load_1m_before": round(load_before[0], 2),
         "host_load_15m_before": round(load_before[2], 2),
         "host_load_1m_after": round(os.getloadavg()[0], 2),
+        # single-thread host-speed constant (see _cpu_calibration): divide
+        # wall times by (this / a reference run's value) to compare rounds
+        # across host clock/steal drift
+        "host_pyloop_sec": pyloop,
         **inc,
     }
 

@@ -23,6 +23,13 @@ Subcommands:
                8-column contract + labels.json (the training handoff the
                reference's preprocessing notebook produces; the torch
                training job consumes these unchanged)
+    analyze    corpus analytics (dedup/quality/tfidf/packing) -> parquet
+    ingest     incremental dedup of a documents delta into a versioned
+               state dir (plans/ingest.py)
+    stream     Structured-Streaming AvailableNow drain of an input dir
+               (triples | event-counts | dedup-pages | pages-latest |
+               sessionize); re-run with the same checkpoint to process
+               only files added since the last drain
 """
 
 from __future__ import annotations
@@ -253,6 +260,41 @@ def cmd_ingest(args: argparse.Namespace, spark=None) -> dict:
     return out
 
 
+STREAM_MODES = (
+    "triples", "event-counts", "dedup-pages", "pages-latest", "sessionize"
+)
+
+
+def cmd_stream(args: argparse.Namespace, spark=None) -> dict:
+    """Structured-Streaming surface: one AvailableNow drain of the input
+    directory through the selected streaming pipeline
+    (streaming/stream_pipeline.py). Re-running with the same --checkpoint
+    processes only files added since the last drain — the stream-native
+    resume story (the batch twin is `resume` over the ledger)."""
+    from .session import get_spark
+    from .streaming import stream_pipeline as sp
+
+    spark = spark or get_spark(app_name="ctre-stream")
+    ckpt = args.checkpoint or f"{args.output.rstrip('/')}/_checkpoint"
+    if args.mode == "triples":
+        sp.stream_triples(spark, args.input, args.output, ckpt)
+    elif args.mode == "event-counts":
+        sp.stream_event_counts(spark, args.input, ckpt, args.output)
+    elif args.mode == "dedup-pages":
+        sp.stream_dedup_pages(spark, args.input, ckpt, args.output)
+    elif args.mode == "pages-latest":
+        sp.stream_pages_latest(spark, args.input, ckpt, args.output)
+    else:
+        from .streaming.sessionize import sessionize_stream
+
+        sessionize_stream(spark, args.input, ckpt, args.output)
+    try:
+        n = spark.read.parquet(args.output).count()
+    except Exception:
+        n = 0  # a drain that emitted no rows writes no readable parquet
+    return {"mode": args.mode, "checkpoint": ckpt, "out_rows_total": n}
+
+
 def cmd_eval(args: argparse.Namespace, spark=None) -> dict:
     from .operators.evaluation import relation_match_prf
     from .session import get_spark
@@ -291,6 +333,17 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     p_an.add_argument("--queries", nargs="*", default=None,
                       help=f"subset of {sorted(ANALYZE_QUERIES)} "
                            "(default: all)")
+    p_str = sub.add_parser(
+        "stream",
+        help="Structured-Streaming drain (AvailableNow) of an input dir",
+    )
+    p_str.add_argument("--mode", required=True, choices=STREAM_MODES)
+    p_str.add_argument("--input", required=True,
+                       help="parquet DIRECTORY (readStream source)")
+    p_str.add_argument("--output", required=True, help="output parquet dir")
+    p_str.add_argument("--checkpoint", default=None,
+                       help="stream checkpoint dir (default: "
+                            "<output>/_checkpoint)")
     p_ing = sub.add_parser(
         "ingest",
         help="incremental dedup of a documents delta into a state dir",
@@ -305,7 +358,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     args = top.parse_args(argv)
     fn = {"predict": cmd_predict, "resume": cmd_resume, "eval": cmd_eval,
           "featurize": cmd_featurize, "analyze": cmd_analyze,
-          "ingest": cmd_ingest}
+          "ingest": cmd_ingest, "stream": cmd_stream}
     out = fn[args.cmd](args, spark=spark)
     print(json.dumps(out))
     return out

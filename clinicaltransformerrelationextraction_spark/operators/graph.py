@@ -23,6 +23,7 @@ __all__ = [
     "q_graph_user_pagerank",
     "q_graph_neighbor_jaccard",
     "min_label_components", "star_components", "integer_pagerank",
+    "integer_pagerank_adj",
 ]
 
 PR_ITERS = 3  # fixed iteration count (cross-engine: both run exactly K)
@@ -99,6 +100,64 @@ def integer_pagerank(edges: DataFrame) -> DataFrame:
                 F.col("dst").alias("entity"),
                 # integral `div`, NOT floor(double /): floor-of-double
                 # diverges from integer // once operands near 2^53
+                F.expr("rank div outdeg").cast("long").alias("c"),
+            )
+            .groupBy("entity")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "entity", "left")
+            .select(
+                "entity",
+                (
+                    F.lit(150_000).cast("long")
+                    + F.expr("(85 * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def integer_pagerank_adj(edges: DataFrame) -> DataFrame:
+    """Adjacency-list form of :func:`integer_pagerank` — bit-identical
+    output (pytest-pinned), different physical plan: the distinct edge
+    list is collapsed ONCE to a nodes-sized ``(src, dsts array, outdeg)``
+    frame, so each of the PR_ITERS rounds joins two nodes-sized frames and
+    explodes, instead of re-shuffling the full edge table every round.
+
+    Trade-off at 100 TB: per-round shuffle drops from O(edges) to
+    O(nodes) + the exploded contribution stream, but a power-law hub's
+    out-list lands in ONE row/task (collect_list skew) — fine up to ~10^6
+    out-degree, needs hub-splitting (salt the src, split the array) past
+    that. NOT yet the default; r6 flips q_graph_pagerank/_user_pagerank to
+    it inside the driver window (window rule: changed queries need driver
+    rows the round they change). Measured at sf0.1 in BENCH.md."""
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("entity"))
+        .unionByName(edges.select(F.col("dst").alias("entity")))
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = (
+        edges.groupBy("src")
+        .agg(
+            F.collect_list("dst").alias("dsts"),
+            F.count("*").alias("outdeg"),
+        )
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn("rank", F.lit(PR_UNIT).cast("long"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            adj.join(
+                ranks.select(F.col("entity").alias("src"), "rank"), "src"
+            )
+            # same per-edge contribution as the edge-join form: rank div
+            # outdeg, exact integral division (see q_graph_pagerank)
+            .select(
+                F.explode("dsts").alias("entity"),
                 F.expr("rank div outdeg").cast("long").alias("c"),
             )
             .groupBy("entity")

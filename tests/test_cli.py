@@ -178,3 +178,94 @@ def test_cli_analyze_unknown_query(spark, tmp_path):
              "--output", str(tmp_path / "x"), "--queries", "nope"],
             spark=spark,
         )
+
+
+def test_cli_stream_triples_incremental(spark, tmp_path):
+    """The stream subcommand drains an input dir through the streaming
+    triple pipeline; a second drain with the same (default) checkpoint
+    processes only newly-added files, and the cumulative output equals
+    the batch pipeline over everything seen."""
+    docs = load_documents(spark, SF_SMOKE)
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "stream_out")
+    docs.filter(F.col("doc_id") < 80).write.mode("append").parquet(in_dir)
+    res1 = main(
+        ["stream", "--mode", "triples", "--input", in_dir, "--output", out],
+        spark=spark,
+    )
+    assert res1["out_rows_total"] > 0
+    assert res1["checkpoint"] == out + "/_checkpoint"
+
+    docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 120)).write.mode(
+        "append"
+    ).parquet(in_dir)
+    res2 = main(
+        ["stream", "--mode", "triples", "--input", in_dir, "--output", out],
+        spark=spark,
+    )
+    batch = run_pipeline(
+        spark.read.parquet(in_dir), PipelineConfig()
+    ).triples.count()
+    assert res2["out_rows_total"] == batch > res1["out_rows_total"]
+
+
+def test_cli_stream_pages_latest(spark, tmp_path):
+    """pages-latest mode through the CLI: after one full drain, the
+    last-emission-per-url compaction of the streamed changelog equals
+    the batch latest-crawl query."""
+    from pyspark.sql import Window as W
+
+    from clinicaltransformerrelationextraction_spark.operators.dedup import (
+        q_pages_latest,
+    )
+
+    in_dir = str(tmp_path / "pages_in")
+    out = str(tmp_path / "latest_out")
+    load_documents(spark, SF_SMOKE).write.parquet(in_dir)
+    res = main(
+        ["stream", "--mode", "pages-latest", "--input", in_dir,
+         "--output", out, "--checkpoint", str(tmp_path / "ck")],
+        spark=spark,
+    )
+    assert res["out_rows_total"] > 0
+    emitted = spark.read.parquet(out)
+    w = W.partitionBy("url").orderBy(F.col("n_crawls").desc())
+    compacted = (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    want = q_pages_latest(spark, SF_SMOKE)
+    assert compacted.count() == want.count()
+    assert compacted.exceptAll(want).count() == 0
+
+
+def test_cli_stream_sessionize(spark, tmp_path):
+    """sessionize mode dispatch: one drain through the CLI, canonical
+    fold equals the batch twin (the deep two-drain semantics live in
+    tests/test_stateful_cogroup.py)."""
+    from datetime import datetime
+
+    from clinicaltransformerrelationextraction_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessions_canonical,
+    )
+
+    in_dir = str(tmp_path / "ev_in")
+    out = str(tmp_path / "sess_out")
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0)),
+        (1, datetime(2024, 1, 1, 10, 10)),
+        (1, datetime(2024, 1, 1, 12, 0)),
+        (2, datetime(2024, 1, 1, 9, 0)),
+    ]
+    spark.createDataFrame(rows, ["user_id", "ts"]).write.parquet(in_dir)
+    res = main(
+        ["stream", "--mode", "sessionize", "--input", in_dir,
+         "--output", out],
+        spark=spark,
+    )
+    assert res["out_rows_total"] == 3  # two user-1 sessions + one user-2
+    got = sessions_canonical(spark.read.parquet(out))
+    want = sessionize_batch(spark.read.parquet(in_dir))
+    assert got.count() == want.count() == 3

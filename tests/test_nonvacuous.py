@@ -195,3 +195,55 @@ def test_hll_sketch_matches_independent_python_reference(spark, tmp_path):
     for lang in want:
         assert got[lang][:3] == want[lang][:3], lang
         assert abs(got[lang][3] - want[lang][3]) < 1e-9, lang
+
+
+def _adj_equals_edgejoin(spark, edges):
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        integer_pagerank,
+        integer_pagerank_adj,
+    )
+
+    a = sorted((r.entity, r.rank) for r in integer_pagerank(edges).collect())
+    b = sorted(
+        (r.entity, r.rank) for r in integer_pagerank_adj(edges).collect()
+    )
+    assert a == b
+    assert a  # nonvacuous
+    assert len({rank for _, rank in a}) > 1  # ranks actually differentiated
+
+
+def test_adjacency_pagerank_matches_edgejoin_synthetic(spark):
+    """integer_pagerank_adj (adjacency-list per-round plan, the r6
+    default candidate) must be bit-identical to the shipped edge-join
+    power iteration — same integral-div contributions, same dangling
+    handling — on adversarial shapes: a hub (collect_list skew shape), a
+    cycle, a DAG chain, nodes with no out-edges (dangling), and a seeded
+    random digraph with parallel-free distinct edges."""
+    import random
+
+    edges = []
+    edges += [(1, v) for v in range(2, 40)]              # out-hub
+    edges += [(v, 1) for v in range(40, 80)]             # in-hub (dangling srcs)
+    edges += [(100 + i, 100 + (i + 1) % 10) for i in range(10)]  # cycle
+    edges += [(200 + i, 201 + i) for i in range(20)]     # chain -> dangling tail
+    rng = random.Random(7)
+    nodes = list(range(300, 400))
+    edges += [tuple(rng.sample(nodes, 2)) for _ in range(300)]
+    df = spark.createDataFrame(edges, "src long, dst long").distinct()
+    _adj_equals_edgejoin(spark, df)
+
+
+def test_adjacency_pagerank_matches_edgejoin_real(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from clinicaltransformerrelationextraction_spark.operators import graph
+
+    edges = (
+        graph._linked(spark, SF_SMOKE)
+        .select(
+            F.col("subj_canonical").alias("src"),
+            F.col("obj_canonical").alias("dst"),
+        )
+        .distinct()
+    )
+    _adj_equals_edgejoin(spark, edges)
