@@ -24,8 +24,9 @@ Subcommands:
                reference's preprocessing notebook produces; the torch
                training job consumes these unchanged)
     analyze    corpus analytics (dedup/quality/tfidf/packing) -> parquet
-    ingest     incremental dedup of a documents delta into a versioned
-               state dir (plans/ingest.py)
+    ingest     incremental ingest of a documents delta into a versioned
+               state dir (plans/ingest.py): dedup indexes, KMV/HLL
+               sketches, KG component labels, latest-per-url snapshot
     stream     Structured-Streaming AvailableNow drain of an input dir
                (triples | event-counts | dedup-pages | pages-latest |
                sessionize); re-run with the same checkpoint to process
@@ -246,9 +247,11 @@ def cmd_analyze(args: argparse.Namespace, spark=None) -> dict:
 def cmd_ingest(args: argparse.Namespace, spark=None) -> dict:
     """Incremental corpus ingest: dedup a documents delta against the
     persisted state directory (LSH band index, cluster labels, exact-hash
-    index, KMV/HLL sketches) and commit the updated state. First call on
-    an empty state dir bootstraps. See plans/ingest.py for the layout and
-    crash contract."""
+    index, KMV/HLL sketches), extract the delta's triples and fold its
+    entity edges into the persisted KG component labels + the crawl log
+    into the latest-per-url snapshot, and commit the updated state. First
+    call on an empty state dir bootstraps. See plans/ingest.py for the
+    layout and crash contract."""
     from .plans.ingest import IngestState
     from .session import get_spark
 

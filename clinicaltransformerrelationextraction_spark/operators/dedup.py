@@ -536,7 +536,15 @@ def q_pages_latest(spark: SparkSession, sf: str) -> DataFrame:
     shuffle; no window, no self-join, and url skew (a hot domain) is
     bounded by the combine. The struct max implements the
     (ts DESC, doc_id DESC) tiebreak the oracle's row_number mirrors."""
-    pages = pages_with_crawl_ts(_docs(spark, sf))
+    return latest_partial(pages_with_crawl_ts(_docs(spark, sf)))
+
+
+def latest_partial(pages: DataFrame) -> DataFrame:
+    """One corpus slice's latest-crawl-per-url aggregate — the
+    mergeable-partial shape of ``q_pages_latest`` (count is summable, the
+    (ts, doc_id) struct max is re-maxable): ``incremental.merge_latest``
+    folds a delta's partial into the persisted snapshot without touching
+    historical pages."""
     return (
         pages.groupBy("url")
         .agg(

@@ -23,7 +23,7 @@ __all__ = [
     "q_graph_user_pagerank",
     "q_graph_neighbor_jaccard",
     "min_label_components", "star_components", "integer_pagerank",
-    "integer_pagerank_adj",
+    "integer_pagerank_adj", "undirected_edges",
 ]
 
 PR_ITERS = 3  # fixed iteration count (cross-engine: both run exactly K)
@@ -211,18 +211,26 @@ def q_graph_two_hop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _undirected(spark: SparkSession, sf: str) -> DataFrame:
-    """Canonical undirected edge set (a < b, self-loops dropped) of the
-    entity graph."""
-    t = _linked(spark, sf)
+def undirected_edges(linked: DataFrame) -> DataFrame:
+    """Canonical undirected edge set ``(a, b)`` (a < b, self-loops
+    dropped) from a linked-triples frame — shared by the corpus graph
+    queries and the incremental ingest's per-delta edge derivation
+    (plans/ingest.py): edges are per-doc facts, so the full graph's edge
+    set is exactly the union of per-delta edge sets."""
     return (
-        t.select(
+        linked.select(
             F.least("subj_canonical", "obj_canonical").alias("a"),
             F.greatest("subj_canonical", "obj_canonical").alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+
+
+def _undirected(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical undirected edge set (a < b, self-loops dropped) of the
+    entity graph."""
+    return undirected_edges(_linked(spark, sf))
 
 
 def _symmetrize(und: DataFrame) -> DataFrame:

@@ -49,10 +49,12 @@ from .dedup import (
     bands_frame,
     bands_from_shingles,
     jaccard_verify,
+    latest_partial,
     pair_shingle_stats,
     propagate_min_labels,
     shingle_frame,
 )
+from .graph import min_label_components
 
 
 def exact_partial(docs: DataFrame) -> DataFrame:
@@ -397,3 +399,107 @@ def incremental_dedup(
     ).localCheckpoint()
     labels = merge_clusters(old_labels, verified, new_docs)
     return verified, labels, new_b, new_sh
+
+
+def merge_components(old_labels: DataFrame, delta_und: DataFrame) -> DataFrame:
+    """Incremental connected components over the ENTITY graph — the
+    kg_construct steady-state: each crawl delta contributes new edges
+    (triples are per-doc facts, so a delta's edge set is derivable from
+    the delta alone) and the persisted component labeling is updated by
+    CONTRACTION, never recomputed from the full edge log.
+
+    ``old_labels`` is ``min_label_components`` output ``(entity,
+    component[, is_root])`` — its invariant (a component's label IS the
+    min entity of that component) is what makes contraction exact, and
+    this function preserves it, so merges compose across ingests.
+    ``delta_und`` is a canonical undirected edge list ``(a, b)``, a < b
+    (``graph.undirected_edges`` output); delta edges may duplicate old
+    edges, bridge two old components, or introduce brand-new entities.
+
+    Each endpoint maps to its representative (an old entity to its
+    component label, a new entity to itself); min-label propagation runs
+    on the DISTINCT contracted edges only — a graph bounded by the delta,
+    never the corpus. The corpus-sized label table is touched by exactly
+    three delta-driven joins (two representative lookups, one final
+    relabel) plus one anti-join for the new-entity set; at scale the
+    delta side of each is broadcastable.
+
+    Pytest-pinned (tests/test_incremental_graph.py): for ANY split of an
+    edge set into old ∪ delta,
+    ``merge_components(min_label_components(old), delta)`` ==
+    ``min_label_components(old ∪ delta)`` exactly."""
+    delta_und = delta_und.localCheckpoint()  # drives four joins below
+    rep = old_labels.select("entity", F.col("component").alias("rep"))
+    contracted = (
+        delta_und.join(
+            rep.withColumnRenamed("entity", "a").withColumnRenamed(
+                "rep", "rep_a"
+            ),
+            "a",
+            "left",
+        )
+        .join(
+            rep.withColumnRenamed("entity", "b").withColumnRenamed(
+                "rep", "rep_b"
+            ),
+            "b",
+            "left",
+        )
+        .select(
+            F.coalesce("rep_a", F.col("a")).alias("x"),
+            F.coalesce("rep_b", F.col("b")).alias("y"),
+        )
+        # contraction can flip the a < b canonical order; restore it so
+        # the fixpoint iterates distinct edges, and drop the self-loops
+        # that intra-component delta edges contract to
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    merged = min_label_components(contracted).select(
+        F.col("entity").alias("rep"), F.col("component").alias("merged")
+    )
+    out_old = (
+        old_labels.select("entity", "component")
+        .join(merged.withColumnRenamed("rep", "component"), "component", "left")
+        .select(
+            "entity",
+            F.coalesce("merged", F.col("component")).alias("component"),
+        )
+    )
+    new_nodes = (
+        delta_und.select(F.col("a").alias("entity"))
+        .unionByName(delta_und.select(F.col("b").alias("entity")))
+        .distinct()
+        .join(old_labels.select("entity"), "entity", "left_anti")
+    )
+    out_new = new_nodes.join(
+        merged.withColumnRenamed("rep", "entity"), "entity", "left"
+    ).select(
+        "entity", F.coalesce("merged", F.col("entity")).alias("component")
+    )
+    return out_old.unionByName(out_new).withColumn(
+        "is_root", (F.col("entity") == F.col("component")).cast("int")
+    )
+
+
+def merge_latest(old_latest: DataFrame, delta_pages: DataFrame) -> DataFrame:
+    """Fold a delta crawl log into the persisted latest-per-url snapshot
+    (``q_pages_latest`` output shape). The aggregate is mergeable — crawl
+    counts sum, the (ts, doc_id) struct max re-maxes — so the update is
+    one groupBy over (snapshot-as-partials ∪ delta-partials); historical
+    pages are never re-read. Pytest-pinned equal to the full-corpus
+    aggregate for any split."""
+    return (
+        old_latest.unionByName(latest_partial(delta_pages))
+        .groupBy("url")
+        .agg(
+            F.sum("n_crawls").alias("n_crawls"),
+            F.max(F.struct("latest_ts_us", "latest_doc_id")).alias("m"),
+        )
+        .select(
+            "url", "n_crawls",
+            F.col("m.latest_ts_us").alias("latest_ts_us"),
+            F.col("m.latest_doc_id").alias("latest_doc_id"),
+        )
+    )

@@ -13,10 +13,13 @@ Layout under ``root/``::
     bands/ingest_00001/      #   dir per ingest; the manifest lists the
     shingles/ingest_00001/   #   committed dirs, readers union exactly
     pairs/ingest_00002/      #   those (orphans from a crash are invisible)
+    edges/ingest_00001/      #   KG edge log: the delta's canonical edges
     labels/v_00002/          # compacted states: rewritten per ingest into
     hash_index/v_00002/      #   a NEW version dir; old versions stay
     kmv/v_00002/             #   readable until expire()
     hll/v_00002/
+    graph/v_00002/           # entity -> component (contraction-merged)
+    latest/v_00002/          # latest-crawl-per-url snapshot
 
 Crash contract: every data dir is written BEFORE the manifest rename, so
 a crash mid-ingest leaves the previous manifest fully consistent; the
@@ -48,7 +51,13 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import bands_frame, shingle_frame
+from ..operators.dedup import (
+    bands_frame,
+    latest_partial,
+    pages_with_crawl_ts,
+    shingle_frame,
+)
+from ..operators.graph import min_label_components, undirected_edges
 from ..operators.incremental import (
     exact_partial,
     hll_merge,
@@ -58,11 +67,14 @@ from ..operators.incremental import (
     kmv_merge,
     kmv_sketch,
     lang_shingle_hashes,
+    merge_components,
+    merge_latest,
 )
 from .ledger import _fs_exists, _hadoop_fs, _read_text, _write_text
+from .pipeline import run_linked
 
-APPEND_TABLES = ("docs", "bands", "shingles", "pairs")
-COMPACT_TABLES = ("labels", "hash_index", "kmv", "hll")
+APPEND_TABLES = ("docs", "bands", "shingles", "pairs", "edges")
+COMPACT_TABLES = ("labels", "hash_index", "kmv", "hll", "graph", "latest")
 
 
 def _basename(path: str) -> str:
@@ -122,8 +134,11 @@ class IngestState:
 
     def ingest(self, spark: SparkSession, new_docs: DataFrame) -> dict:
         """Apply one delta: dedup it against the persisted index, fold the
-        exact-hash index and the KMV/HLL sketches, commit the new state.
-        Returns the ingest stats (also recorded in the manifest)."""
+        exact-hash index and the KMV/HLL sketches, extract the delta's
+        triples and contract-merge its entity edges into the persisted
+        component labels, fold the latest-per-url snapshot, and commit
+        the new state. Returns the ingest stats (also recorded in the
+        manifest)."""
         new_docs = new_docs.select("doc_id", "text", "lang")
         m = self.manifest()
         v = (m["version"] + 1) if m else 1
@@ -140,6 +155,9 @@ class IngestState:
             old_hash = self.read_compact(spark, "hash_index", m)
             old_kmv = self.read_compact(spark, "kmv", m)
             old_hll = self.read_compact(spark, "hll", m)
+            old_graph, old_latest, backfill_edges = self._graph_state(
+                spark, m
+            )
         else:
             # bootstrap: empty "old" state derived from the delta's own
             # constructors, so the schemas can never drift from the real
@@ -156,6 +174,9 @@ class IngestState:
             old_hash = exact_partial(zero)
             old_kmv = kmv_sketch(zero)
             old_hll = hll_registers(zero)
+            old_graph = None  # derived from the delta's own edge schema
+            old_latest = latest_partial(pages_with_crawl_ts(zero))
+            backfill_edges = None
 
         verified, labels, new_b, new_sh = incremental_dedup(
             old_docs, old_index, old_labels, new_docs,
@@ -166,22 +187,40 @@ class IngestState:
         delta_h = lang_shingle_hashes(new_docs).localCheckpoint()
         kmv = kmv_merge(old_kmv, kmv_sketch(None, hashes=delta_h))
         hll = hll_merge(old_hll, hll_registers(None, hashes=delta_h))
+        # knowledge-graph + crawl-snapshot state (the kg_construct leg):
+        # triples are per-doc facts, so the DELTA alone yields its edge
+        # contribution; contract-merge it into the persisted component
+        # labels and fold the delta's crawl log into the latest-per-url
+        # snapshot — the corpus never re-extracts
+        delta_edges = undirected_edges(run_linked(new_docs)).localCheckpoint()
+        if old_graph is None:  # bootstrap: schema from the real constructor
+            old_graph = min_label_components(delta_edges.limit(0))
+        graph = merge_components(old_graph, delta_edges)
+        latest = merge_latest(old_latest, pages_with_crawl_ts(new_docs))
 
         tag = f"{v:05d}"
         append_writes = {
             "docs": new_docs, "bands": new_b,
-            "shingles": new_sh, "pairs": verified,
+            "shingles": new_sh, "pairs": verified, "edges": delta_edges,
         }
-        appends = dict(m["appends"]) if m else {
-            t: [] for t in APPEND_TABLES
-        }
+        appends = dict(m["appends"]) if m else {}
+        for t in APPEND_TABLES:
+            # .get: manifests written before a table existed lack its key
+            appends.setdefault(t, [])
+        if backfill_edges is not None:
+            # one-time upgrade of a pre-graph-era state dir: the edge log
+            # reconstructed from the docs log commits alongside the delta
+            path = f"{self.root}/edges/backfill_{tag}"
+            backfill_edges.write.mode("overwrite").parquet(path)
+            appends["edges"] = appends["edges"] + [path]
         for t, df in append_writes.items():
             path = f"{self.root}/{t}/ingest_{tag}"
             df.write.mode("overwrite").parquet(path)
             appends[t] = appends[t] + [path]
         compacted = {}
         for t, df in (("labels", labels), ("hash_index", hash_index),
-                      ("kmv", kmv), ("hll", hll)):
+                      ("kmv", kmv), ("hll", hll), ("graph", graph),
+                      ("latest", latest)):
             path = f"{self.root}/{t}/v_{tag}"
             df.write.mode("overwrite").parquet(path)
             compacted[t] = path
@@ -194,15 +233,44 @@ class IngestState:
             F.count("*").alias("n"),
             F.countDistinct("cluster_id").alias("c"),
         ).first()
+        gagg = spark.read.parquet(compacted["graph"]).agg(
+            F.count("*").alias("n"), F.sum("is_root").alias("c")
+        ).first()
         stats = {
             "version": v, "n_delta_docs": n_delta,
             "n_new_verified_pairs": n_pairs,
             "n_docs_total": agg["n"], "n_clusters_total": agg["c"],
+            "n_entities": gagg["n"] or 0,
+            "n_components": int(gagg["c"] or 0),
+            "n_urls": spark.read.parquet(compacted["latest"]).count(),
         }
         manifest = {"version": v, "appends": appends,
                     "compacted": compacted, "stats": stats}
         _write_text(self.manifest_path, json.dumps(manifest, indent=1))
         return stats
+
+    def _graph_state(self, spark: SparkSession, m: dict):
+        """Resolve ``(old_graph, old_latest, backfill_edges)`` from a
+        committed manifest. A manifest written before the graph/latest
+        tables existed gets a ONE-TIME backfill derived from the docs log
+        — the documented full-history scan of a state-dir schema upgrade
+        (the same contract as the stale-shingle-table backfill in
+        ``incremental_verified_pairs``); the reconstructed edge log is
+        returned so :meth:`ingest` commits it and the next ingest reads
+        tables again."""
+        if "graph" in m["compacted"]:
+            return (
+                self.read_compact(spark, "graph", m),
+                self.read_compact(spark, "latest", m),
+                None,
+            )
+        docs_log = self.read_append(spark, "docs", m)
+        old_edges = undirected_edges(run_linked(docs_log)).localCheckpoint()
+        return (
+            min_label_components(old_edges),
+            latest_partial(pages_with_crawl_ts(docs_log)),
+            old_edges,
+        )
 
     # -- retention ----------------------------------------------------------
 

@@ -21,6 +21,12 @@ from clinicaltransformerrelationextraction_spark.functions.util import (
 )
 from clinicaltransformerrelationextraction_spark.operators.dedup import (
     clusters_frame,
+    latest_partial,
+    pages_with_crawl_ts,
+)
+from clinicaltransformerrelationextraction_spark.operators.graph import (
+    min_label_components,
+    undirected_edges,
 )
 from clinicaltransformerrelationextraction_spark.operators.incremental import (
     exact_partial,
@@ -28,6 +34,7 @@ from clinicaltransformerrelationextraction_spark.operators.incremental import (
     kmv_sketch,
 )
 from clinicaltransformerrelationextraction_spark.plans.ingest import IngestState
+from clinicaltransformerrelationextraction_spark.plans.pipeline import run_linked
 from tests.conftest import SF_SMOKE
 
 
@@ -65,6 +72,23 @@ def test_sequential_ingests_match_full_recompute(spark, tmp_path):
     _same(s.read_compact(spark, "hash_index"), exact_partial(docs))
     _same(s.read_compact(spark, "kmv"), kmv_sketch(docs))
     _same(s.read_compact(spark, "hll"), hll_registers(docs))
+    # the KG state: contraction-merged components == full re-extraction,
+    # latest-per-url snapshot == the one-shot aggregate, the edge log
+    # covers exactly the full corpus edge set
+    _same(
+        s.read_compact(spark, "graph"),
+        min_label_components(undirected_edges(run_linked(docs))),
+    )
+    _same(
+        s.read_compact(spark, "latest"),
+        latest_partial(pages_with_crawl_ts(docs)),
+    )
+    _same(
+        s.read_append(spark, "edges").distinct(),
+        undirected_edges(run_linked(docs)),
+    )
+    assert st3["n_entities"] > 0 and st3["n_components"] > 0
+    assert st3["n_urls"] > 0
     # the docs log IS the corpus
     _same(s.docs(spark), docs)
     # every ingest appended its pairs audit log
@@ -101,13 +125,52 @@ def test_empty_delta_is_a_committed_noop(spark, tmp_path):
     s = IngestState(root)
     s.ingest(spark, spark.read.parquet(paths[0]))
     lab1 = s.labels(spark).collect()
+    g1 = s.read_compact(spark, "graph").collect()
     st = s.ingest(spark, spark.read.parquet(paths[1]).limit(0))
     assert st["version"] == 2 and st["n_delta_docs"] == 0
     assert st["n_new_verified_pairs"] == 0
     assert sorted(map(tuple, s.labels(spark).collect())) == sorted(
         map(tuple, lab1)
     )
+    # KG state is a committed no-op too
+    assert sorted(map(tuple, s.read_compact(spark, "graph").collect())) \
+        == sorted(map(tuple, g1))
     # manifest is valid json pointing at v2 compacted state
     m = json.loads(open(f"{root}/MANIFEST.json").read())
     assert m["version"] == 2
     assert m["compacted"]["labels"].endswith("v_00002")
+
+
+def test_pre_graph_era_state_dir_upgrades_with_backfill(spark, tmp_path):
+    """A state dir committed before the graph/latest tables existed (its
+    manifest lacks those compacted keys and the edges append log) is
+    upgraded IN the next ingest: the old graph state is backfilled once
+    from the docs log, the reconstructed edge log commits alongside the
+    delta, and the post-upgrade state equals the full recompute."""
+    docs, paths = _deltas(spark, tmp_path, n=2)
+    root = str(tmp_path / "state")
+    s = IngestState(root)
+    s.ingest(spark, spark.read.parquet(paths[0]))
+    # simulate the pre-graph-era manifest shape
+    m = json.loads(open(s.manifest_path).read())
+    for t in ("graph", "latest"):
+        del m["compacted"][t]
+    del m["appends"]["edges"]
+    open(s.manifest_path, "w").write(json.dumps(m))
+
+    s.ingest(spark, spark.read.parquet(paths[1]))
+    _same(
+        s.read_compact(spark, "graph"),
+        min_label_components(undirected_edges(run_linked(docs))),
+    )
+    _same(
+        s.read_compact(spark, "latest"),
+        latest_partial(pages_with_crawl_ts(docs)),
+    )
+    _same(
+        s.read_append(spark, "edges").distinct(),
+        undirected_edges(run_linked(docs)),
+    )
+    # the backfill dir is a committed append alongside the delta's own
+    names = [p.rsplit("/", 1)[-1] for p in s.manifest()["appends"]["edges"]]
+    assert "backfill_00002" in names and "ingest_00002" in names
