@@ -206,13 +206,15 @@ def _cpu_calibration() -> float:
     number: an idle-host r5 run measured EVERY headline query a uniform
     ~1.35x over r4 (scan-only TPC-H q1 included, code untouched), which is
     host clock/steal drift, not a regression. Dividing by this constant
-    cancels it."""
-    t0 = time.time()
+    cancels it. Measured with perf_counter (monotonic): an NTP step
+    landing mid-spin must not corrupt the very constant that exists to
+    cancel clock drift."""
+    t0 = time.perf_counter()
     s = 0
     for i in range(20_000_000):
         s += i
     assert s == 199999990000000
-    return round(time.time() - t0, 3)
+    return round(time.perf_counter() - t0, 3)
 
 
 def run_bench() -> dict:

@@ -274,27 +274,40 @@ def cmd_stream(args: argparse.Namespace, spark=None) -> dict:
     (streaming/stream_pipeline.py). Re-running with the same --checkpoint
     processes only files added since the last drain — the stream-native
     resume story (the batch twin is `resume` over the ledger)."""
+    from pyspark.errors import AnalysisException
+
     from .session import get_spark
     from .streaming import stream_pipeline as sp
+    from .streaming.sessionize import sessionize_stream
 
     spark = spark or get_spark(app_name="ctre-stream")
     ckpt = args.checkpoint or f"{args.output.rstrip('/')}/_checkpoint"
-    if args.mode == "triples":
-        sp.stream_triples(spark, args.input, args.output, ckpt)
-    elif args.mode == "event-counts":
-        sp.stream_event_counts(spark, args.input, ckpt, args.output)
-    elif args.mode == "dedup-pages":
-        sp.stream_dedup_pages(spark, args.input, ckpt, args.output)
-    elif args.mode == "pages-latest":
-        sp.stream_pages_latest(spark, args.input, ckpt, args.output)
-    else:
-        from .streaming.sessionize import sessionize_stream
-
-        sessionize_stream(spark, args.input, ckpt, args.output)
+    # dict dispatch (the main() subcommand pattern): a STREAM_MODES entry
+    # without a branch here is a KeyError at the dispatch site, never a
+    # silent fall-through into the wrong pipeline
+    runs = {
+        "triples": lambda: sp.stream_triples(
+            spark, args.input, args.output, ckpt
+        ),
+        "event-counts": lambda: sp.stream_event_counts(
+            spark, args.input, ckpt, args.output
+        ),
+        "dedup-pages": lambda: sp.stream_dedup_pages(
+            spark, args.input, ckpt, args.output
+        ),
+        "pages-latest": lambda: sp.stream_pages_latest(
+            spark, args.input, ckpt, args.output
+        ),
+        "sessionize": lambda: sessionize_stream(
+            spark, args.input, ckpt, args.output
+        ),
+    }
+    runs[args.mode]()
     try:
         n = spark.read.parquet(args.output).count()
-    except Exception:
-        n = 0  # a drain that emitted no rows writes no readable parquet
+    except AnalysisException:
+        n = 0  # a drain that emitted no rows writes no readable parquet;
+        # any other read failure (permissions, corrupt footer) propagates
     return {"mode": args.mode, "checkpoint": ckpt, "out_rows_total": n}
 
 
@@ -349,7 +362,9 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
                             "<output>/_checkpoint)")
     p_ing = sub.add_parser(
         "ingest",
-        help="incremental dedup of a documents delta into a state dir",
+        help="incremental ingest of a documents delta into a state dir: "
+             "dedup indexes, KMV/HLL sketches, KG component labels, "
+             "latest-per-url snapshot (runs triple extraction on the delta)",
     )
     p_ing.add_argument("--state", required=True,
                        help="persisted state dir (created on first ingest)")

@@ -76,18 +76,42 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return integer_pagerank(edges)
 
 
+def _edge_nodes(edges: DataFrame) -> DataFrame:
+    """Distinct node set of a directed edge list, checkpointed — both
+    PageRank forms reference it every round."""
+    return (
+        edges.select(F.col("src").alias("entity"))
+        .unionByName(edges.select(F.col("dst").alias("entity")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def _rank_step(nodes: DataFrame, contrib: DataFrame) -> DataFrame:
+    """One teleport+damp rank update from per-node summed contributions
+    ``(entity, s)`` — the SINGLE definition of the update formula on the
+    bit-identity contract between :func:`integer_pagerank`,
+    :func:`integer_pagerank_adj`, and the oracle's recursive CTE."""
+    return (
+        nodes.join(contrib, "entity", "left")
+        .select(
+            "entity",
+            (
+                F.lit(150_000).cast("long")
+                + F.expr("(85 * coalesce(s, 0L)) div 100")
+            ).cast("long").alias("rank"),
+        )
+        .localCheckpoint()
+    )
+
+
 def integer_pagerank(edges: DataFrame) -> DataFrame:
     """Exact-integer PageRank power iteration over a distinct directed
     edge list ``(src, dst)`` — see :func:`q_graph_pagerank` for the
     formula and cross-engine discipline. Shared by the entity-graph and
     user-co-action-graph queries."""
     edges = edges.localCheckpoint()
-    nodes = (
-        edges.select(F.col("src").alias("entity"))
-        .unionByName(edges.select(F.col("dst").alias("entity")))
-        .distinct()
-        .localCheckpoint()
-    )
+    nodes = _edge_nodes(edges)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     ranks = nodes.withColumn("rank", F.lit(PR_UNIT).cast("long"))
     for _ in range(PR_ITERS):
@@ -105,17 +129,7 @@ def integer_pagerank(edges: DataFrame) -> DataFrame:
             .groupBy("entity")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, "entity", "left")
-            .select(
-                "entity",
-                (
-                    F.lit(150_000).cast("long")
-                    + F.expr("(85 * coalesce(s, 0L)) div 100")
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint()
-        )
+        ranks = _rank_step(nodes, contrib)
     return ranks
 
 
@@ -134,12 +148,7 @@ def integer_pagerank_adj(edges: DataFrame) -> DataFrame:
     it inside the driver window (window rule: changed queries need driver
     rows the round they change). Measured at sf0.1 in BENCH.md."""
     edges = edges.localCheckpoint()
-    nodes = (
-        edges.select(F.col("src").alias("entity"))
-        .unionByName(edges.select(F.col("dst").alias("entity")))
-        .distinct()
-        .localCheckpoint()
-    )
+    nodes = _edge_nodes(edges)
     adj = (
         edges.groupBy("src")
         .agg(
@@ -163,17 +172,7 @@ def integer_pagerank_adj(edges: DataFrame) -> DataFrame:
             .groupBy("entity")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, "entity", "left")
-            .select(
-                "entity",
-                (
-                    F.lit(150_000).cast("long")
-                    + F.expr("(85 * coalesce(s, 0L)) div 100")
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint()
-        )
+        ranks = _rank_step(nodes, contrib)
     return ranks
 
 

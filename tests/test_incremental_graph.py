@@ -78,6 +78,30 @@ def test_merge_components_synthetic_adversarial_split(spark):
     assert comps["n1"] == "n1" and comps["n4"] == "c1"
 
 
+def test_merge_components_new_entity_becomes_min_label(spark):
+    """The relabel direction the adversarial test above never hits: a
+    NEW entity that sorts below every old label must become the merged
+    component's label, relabeling all historical members — the
+    label-is-min-entity invariant has to hold in this direction too, or
+    the NEXT ingest's contraction would be inexact."""
+    old = _edges(spark, [("m1", "m2"), ("m2", "m3"), ("q1", "q2")])
+    delta = _edges(spark, [("0x", "m2"), ("0a", "q1"), ("0a", "0b")])
+    full = old.unionByName(delta).distinct()
+    base = min_label_components(old)
+    got = merge_components(base, delta)
+    _same(got, min_label_components(full))
+    comps = {r.entity: r.component for r in got.collect()}
+    assert comps["m1"] == comps["m3"] == comps["0x"] == "0x"
+    assert comps["q2"] == comps["0b"] == "0a"
+    # and the merge COMPOSES from this state: a second delta contracting
+    # against the new-entity labels is still exact
+    delta2 = _edges(spark, [("m3", "q2")])
+    _same(
+        merge_components(got, delta2),
+        min_label_components(full.unionByName(delta2).distinct()),
+    )
+
+
 def test_merge_components_degenerate_splits(spark):
     edges = _edges(spark, [("a", "b"), ("b", "c"), ("x", "y")])
     empty = edges.limit(0)
