@@ -258,6 +258,12 @@ def cmd_ingest(args: argparse.Namespace, spark=None) -> dict:
     spark = spark or get_spark(app_name="ctre-ingest")
     state = IngestState(args.state)
     out = state.ingest(spark, spark.read.parquet(args.delta))
+    if args.compact_appends is not None:
+        # compact BEFORE expire so the superseded per-ingest dirs fall out
+        # of the manifest and the same expire call GCs them
+        out["compacted_appends"] = state.compact(
+            spark, min_dirs=args.compact_appends
+        )
     if args.expire_keep is not None:
         out["expired"] = len(state.expire(spark, keep_last=args.expire_keep))
     return out
@@ -373,6 +379,12 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     p_ing.add_argument("--expire-keep", type=int, default=None,
                        help="after commit, retain only this many compacted "
                             "state versions (default: keep all)")
+    p_ing.add_argument("--compact-appends", type=int, default=None,
+                       metavar="MIN_DIRS",
+                       help="after commit, rewrite any append log with at "
+                            "least MIN_DIRS dirs into one (small-files "
+                            "maintenance; superseded dirs are GC'd by "
+                            "--expire-keep or a later expire)")
     args = top.parse_args(argv)
     fn = {"predict": cmd_predict, "resume": cmd_resume, "eval": cmd_eval,
           "featurize": cmd_featurize, "analyze": cmd_analyze,

@@ -272,6 +272,56 @@ class IngestState:
             old_edges,
         )
 
+    # -- maintenance --------------------------------------------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        tables: tuple[str, ...] = APPEND_TABLES,
+        min_dirs: int = 2,
+    ) -> dict:
+        """Rewrite each append log's committed dirs into ONE dir and
+        commit a manifest pointing at it — the small-files maintenance
+        op: an hourly ingest cadence accrues ~8,760 dirs per table per
+        year, and readers' file listing/planning degrades long before
+        data volume does. Data is rewritten UNCHANGED (the log is the
+        state; no dedupe, no reorder semantics) under the same crash
+        contract as ingest: the compacted dir is fully written before
+        the manifest rename, so a crash leaves the previous manifest
+        consistent and an invisible orphan; the superseded per-ingest
+        dirs become orphans GC'd by :meth:`expire`.
+
+        ``tables`` defaults to every append log; at real scale pass the
+        slim ones (bands/shingles/pairs/edges) more often than ``docs``,
+        whose rewrite is a full corpus copy. Logs with fewer than
+        ``min_dirs`` committed dirs are left alone. Returns
+        {table: n_dirs_compacted} for the tables rewritten."""
+        m = self.manifest()
+        if m is None:
+            return {}
+        v = m["version"] + 1
+        tag = f"{v:05d}"
+        appends = dict(m["appends"])
+        done: dict[str, int] = {}
+        for t in tables:
+            paths = appends.get(t, [])
+            if len(paths) < min_dirs:
+                continue
+            path = f"{self.root}/{t}/compact_{tag}"
+            spark.read.parquet(*paths).write.mode("overwrite").parquet(path)
+            appends[t] = [path]
+            done[t] = len(paths)
+        if not done:
+            return {}
+        manifest = {
+            "version": v,
+            "appends": appends,
+            "compacted": m["compacted"],
+            "stats": {"version": v, "compacted_appends": done},
+        }
+        _write_text(self.manifest_path, json.dumps(manifest, indent=1))
+        return done
+
     # -- retention ----------------------------------------------------------
 
     def expire(self, spark: SparkSession, keep_last: int = 1) -> list[str]:

@@ -174,3 +174,48 @@ def test_pre_graph_era_state_dir_upgrades_with_backfill(spark, tmp_path):
     # the backfill dir is a committed append alongside the delta's own
     names = [p.rsplit("/", 1)[-1] for p in s.manifest()["appends"]["edges"]]
     assert "backfill_00002" in names and "ingest_00002" in names
+
+
+def test_compact_appends_preserves_state_and_gc(spark, tmp_path):
+    """Small-files maintenance: compact() rewrites each append log's dirs
+    into one under a new manifest version, readers see identical data,
+    a later ingest keeps composing correctly from the compacted state,
+    and expire() GCs the superseded per-ingest dirs."""
+    docs, paths = _deltas(spark, tmp_path, n=3)
+    root = str(tmp_path / "state")
+    s = IngestState(root)
+    s.ingest(spark, spark.read.parquet(paths[0]))
+    s.ingest(spark, spark.read.parquet(paths[1]))
+    done = s.compact(spark)
+    assert done["docs"] == 2
+    m = s.manifest()
+    assert m["version"] == 3
+    assert all(len(m["appends"][t]) == 1 for t in m["appends"])
+    _same(
+        s.docs(spark),
+        docs.filter(F.col("doc_id") % 3 != 2),
+    )
+    # ingest + compact + expire through the CLI, from the compacted state
+    st = cli.main(
+        ["ingest", "--state", root, "--delta", paths[2],
+         "--compact-appends", "2", "--expire-keep", "1"],
+        spark=spark,
+    )
+    assert st["compacted_appends"]["docs"] == 2  # compact dir + new delta
+    assert st["expired"] > 0
+    _same(s.docs(spark), docs)
+    _same(s.labels(spark), clusters_frame(docs))
+    _same(
+        s.read_compact(spark, "graph"),
+        min_label_components(undirected_edges(run_linked(docs))),
+    )
+    _same(
+        s.read_append(spark, "edges").distinct(),
+        undirected_edges(run_linked(docs)),
+    )
+    # after expire, each append root holds ONLY the live compacted dir
+    for t in ("docs", "bands", "shingles", "pairs", "edges"):
+        assert os.listdir(f"{root}/{t}") == ["compact_00005"], t
+    # compacting a single-dir log is a no-op (returns {}, no commit)
+    assert s.compact(spark) == {}
+    assert s.manifest()["version"] == 5
