@@ -199,6 +199,70 @@ def _bench_incremental(spark) -> dict:
     }
 
 
+def _bench_incremental_graph(spark) -> dict:
+    """Incremental USER-GRAPH component maintenance vs from-scratch:
+    star co-action edges are per-(k, day) facts, so the last ~10% of
+    days plays the delta — its edges derive from those events alone and
+    fold into the persisted labeling by contraction
+    (incremental.merge_components, equivalence pytest-pinned on this
+    exact split shape). Compare with the from-scratch leg timed here:
+    full star-edge derivation + min-label fixpoint over ALL days. The
+    structural claim that scales is that history's events are never
+    re-scanned: the incremental plan touches the delta days' events plus
+    the nodes-sized label table."""
+    from pyspark.sql import functions as F
+
+    from clinicaltransformerrelationextraction_spark.functions.util import (
+        ensure_parallelism,
+    )
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        min_label_components,
+        user_star_edges_from_events,
+    )
+    from clinicaltransformerrelationextraction_spark.operators.incremental import (
+        merge_components,
+    )
+
+    ev = ensure_parallelism(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    days = [r.d for r in ev.select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d")
+    ).distinct().orderBy("d").collect()]
+    cutoff = days[int(len(days) * 0.9)]
+    is_new = (
+        F.date_trunc("day", F.col("ts").cast("timestamp")) >= F.lit(cutoff)
+    )
+    ev_mtime = int(os.path.getmtime(f"{SF_DIR}/events.parquet"))
+    sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    lab_p = f"/tmp/ctre_inc_graph_sf{sf_tag}_t{ev_mtime}/labels"
+    if not os.path.exists(lab_p + "/_SUCCESS"):
+        min_label_components(
+            user_star_edges_from_events(ev.filter(~is_new))
+        ).write.mode("overwrite").parquet(lab_p)
+    old_labels = spark.read.parquet(lab_p)
+    new_ev = ev.filter(is_new)
+
+    def full(_spark, _sf):
+        return min_label_components(user_star_edges_from_events(ev))
+
+    def inc(_spark, _sf):
+        return merge_components(
+            old_labels, user_star_edges_from_events(new_ev)
+        )
+
+    med_full, s_full, n = _time_query(full, spark, BENCH_REPEATS)
+    med_inc, s_inc, n_inc = _time_query(inc, spark, BENCH_REPEATS)
+    assert n == n_inc  # same node universe either way
+    return {
+        "graph_full_recompute_sec": med_full,
+        "graph_incremental_merge_sec": med_inc,
+        "graph_samples": {"full": s_full, "incremental": s_inc},
+        "graph_delta_days_frac": round(
+            sum(1 for d in days if d >= cutoff) / len(days), 2
+        ),
+        "graph_nodes": n,
+    }
+
+
 def _cpu_calibration() -> float:
     """Single-thread pure-Python spin, fixed iteration count — a host-speed
     constant recorded inside the bench JSON. Round-to-round wall-time
@@ -248,6 +312,7 @@ def run_bench() -> dict:
         else None
     )
     inc = _bench_incremental(spark)
+    inc.update(_bench_incremental_graph(spark))
     spark.stop()
     return {
         "metric": "headline query wall time, median of %d after warm-up "

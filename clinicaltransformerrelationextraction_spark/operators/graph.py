@@ -467,16 +467,18 @@ def _user_edges(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _user_star_edges(spark: SparkSession, sf: str) -> DataFrame:
+def user_star_edges_from_events(ev: DataFrame) -> DataFrame:
     """Connectivity-equivalent star contraction of the per-(k, day)
-    co-action cliques: one edge (group-min user, member) per membership
-    row. Satisfies the a < b undirected convention by construction
-    (a is the group minimum). Components over these edges equal
-    components over the full clique expansion; see
-    q_graph_user_components."""
-    from .relational import _t
+    co-action cliques over an EVENTS frame: one edge (group-min user,
+    member) per membership row. Satisfies the a < b undirected
+    convention by construction (a is the group minimum). Components over
+    these edges equal components over the full clique expansion; see
+    q_graph_user_components.
 
-    ev = _t(spark, sf, "events")
+    A (k, day) group lives entirely within one day, so a day-bounded
+    events delta yields exactly its own star edges — the property that
+    makes incremental component maintenance (incremental.
+    merge_components) exact over day splits (pytest-pinned)."""
     grp = ev.select(
         F.get_json_object("props", "$.k").cast("long").alias("k"),
         F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
@@ -489,6 +491,12 @@ def _user_star_edges(spark: SparkSession, sf: str) -> DataFrame:
         .select("a", F.col("user_id").alias("b"))
         .distinct()
     )
+
+
+def _user_star_edges(spark: SparkSession, sf: str) -> DataFrame:
+    from .relational import _t
+
+    return user_star_edges_from_events(_t(spark, sf, "events"))
 
 
 def q_graph_user_pagerank(spark: SparkSession, sf: str) -> DataFrame:

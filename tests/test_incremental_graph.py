@@ -164,3 +164,31 @@ def test_merge_latest_matches_full_aggregate(spark):
     _same(state, want)
     # recrawled urls really have multi-crawl counts (nonvacuous)
     assert want.filter(F.col("n_crawls") > 1).count() > 0
+
+
+def test_merge_components_user_graph_day_split(spark):
+    """Star co-action edges are per-(k, day) facts — a (k, day) group
+    never spans days — so an events DAY DELTA yields exactly its own
+    edges and the persisted user-component labeling folds it by
+    contraction: the steady-state maintenance mode of
+    q_graph_user_components (and the shape bench.py measures)."""
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        user_star_edges_from_events,
+    )
+
+    ev = ensure_parallelism(
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    )
+    days = [r.d for r in ev.select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d")
+    ).distinct().orderBy("d").collect()]
+    assert len(days) >= 3  # the split must be nonvacuous
+    cutoff = days[int(len(days) * 0.8)]
+    is_new = F.date_trunc("day", F.col("ts").cast("timestamp")) >= F.lit(
+        cutoff
+    )
+    old_e = user_star_edges_from_events(ev.filter(~is_new))
+    delta_e = user_star_edges_from_events(ev.filter(is_new))
+    assert delta_e.count() > 0
+    got = merge_components(min_label_components(old_e), delta_e)
+    _same(got, min_label_components(user_star_edges_from_events(ev)))
