@@ -381,13 +381,17 @@ def _level_session(cpus: str):
     """Session for one scaling level. CTRE_SCALING_MASTER=local-cluster
     (default) spawns REAL separate executor JVM processes — the honest
     stand-in for 'N executors': per-executor heaps/GC, executor-side Python
-    workers fed via spark.executorEnv, exactly the spark-submit --py-files
-    deployment shape. local falls back to single-JVM local[n]."""
+    workers. Code ships to those workers as the --py-files artifact
+    (tools/make_pyfiles.py zip via SparkContext.addPyFile, the runtime
+    equivalent of spark-submit --py-files; self-containment pinned by
+    tests/test_pyfiles_submit.py) — the executors never see the repo on
+    PYTHONPATH. local falls back to single-JVM local[n]."""
     from clinicaltransformerrelationextraction_spark.session import get_spark
 
-    repo = os.path.dirname(os.path.abspath(__file__))
     mode = os.environ.get("CTRE_SCALING_MASTER", "local-cluster")
     if mode == "local-cluster":
+        from tools.make_pyfiles import build_pyfiles_zip
+
         os.environ.setdefault(
             "SPARK_HOME",
             os.path.dirname(__import__("pyspark").__file__),
@@ -396,14 +400,15 @@ def _level_session(cpus: str):
         master = f"local-cluster[{nexec},4,8192]"
         extra = {
             "spark.driver.memory": "4g",
-            "spark.executorEnv.PYTHONPATH": repo,
             "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
             "spark.executorEnv.OMP_NUM_THREADS": "1",
         }
-        return get_spark(
+        spark = get_spark(
             app_name="ctre-scale", master=master,
             shuffle_partitions=max(int(cpus), 8), extra_conf=extra,
         )
+        spark.sparkContext.addPyFile(str(build_pyfiles_zip()))
+        return spark
     return _session(cpus)
 
 

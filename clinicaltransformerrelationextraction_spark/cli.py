@@ -7,7 +7,9 @@ dataflow semantics; training-only flags (epochs, learning rate, losses)
 are out of scope — training remains a torch job fed from the candidate
 tables (SURVEY.md §7.1.10).
 
-Usage (spark-submit shape):
+Usage (spark-submit shape; build ctre.zip with
+``python -m tools.make_pyfiles`` — deterministic, tested end-to-end in
+tests/test_pyfiles_submit.py):
 
     spark-submit --py-files ctre.zip -m clinicaltransformerrelationextraction_spark.cli \\
         predict --input /data/documents --output /out/run1 \\
