@@ -151,3 +151,61 @@ def test_spark_submit_pyfiles_local_cluster(tmp_path, spark):
     )
     assert (got_n, got_sum) == (exp_n, exp_sum)
     assert got_n > 0
+
+
+def test_spark_submit_cli_launcher(tmp_path, spark):
+    """The README's documented deployment command, verbatim shape:
+    ``spark-submit --master ... --py-files dist/ctre.zip
+    tools/ctre_submit.py predict ...``.
+
+    Also pins the session-factory contract that makes it work on a real
+    cluster: under spark-submit, get_spark must NOT default in a local
+    master (which would override --master and run the "cluster" job on
+    the driver host). cwd is outside the repo and PYTHONPATH is
+    stripped, so the package resolves only from the shipped zip."""
+    import json as _json
+
+    import pyspark
+
+    from clinicaltransformerrelationextraction_spark.config import (
+        PipelineConfig,
+    )
+    from clinicaltransformerrelationextraction_spark.plans.pipeline import (
+        load_documents, run_pipeline,
+    )
+
+    zip_path = build_pyfiles_zip(tmp_path / "ctre.zip")
+    out_dir = tmp_path / "out"
+    pyspark_dir = os.path.dirname(pyspark.__file__)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env.update(PYSPARK_PYTHON=sys.executable, SPARK_HOME=pyspark_dir)
+    proc = subprocess.run(
+        [
+            os.path.join(pyspark_dir, "bin", "spark-submit"),
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zip_path),
+            str(REPO / "tools" / "ctre_submit.py"),
+            "predict",
+            "--input", f"{SF_SMOKE}/documents.parquet",
+            "--output", str(out_dir),
+            "--scorer", "stub",
+            "--n-buckets", "1",
+        ],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    result = _json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    exp_n = run_pipeline(
+        load_documents(spark, SF_SMOKE), PipelineConfig()
+    ).triples.count()
+    assert result == {"mode": "single", "n_triples": exp_n}
+    # the documented artifacts landed where the CLI says they do
+    assert spark.read.parquet(str(out_dir / "triples")).count() == exp_n
+    assert spark.read.parquet(str(out_dir / "brat")).count() > 0
