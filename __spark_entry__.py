@@ -319,7 +319,13 @@ def _q_segment_pages_pandas(spark: SparkSession, sf: str) -> DataFrame:
 # variant). After this round every registered query has driver evidence
 # from round 4 or 5. Outside the window: only round-4-green queries
 # whose code is unchanged (covered by the in-repo sf0.001 parity suite
-# and the full local sf0.01 verify drive).
+# and the full local sf0.01 verify drive). Late-round exception note:
+# truncate_pair gained the reference's exhausted-side guard (never pop a
+# marker, scoring.py) — on this corpus the truncation branch is NEVER
+# reached (budget 509 vs ~21-token windows; the oracle SQL has no
+# truncation branch for the same reason), so no query's output changes;
+# evidence = the full 97/97 sf0.01 parity drive re-run on the new code +
+# the now-unconstrained fuzz vs the reference port (test_tokenize.py).
 _WINDOW: list[str] = [
     # flagship pipeline (current anchors; q_mentions/q_sentences/
     # q_binary_triples/q_triples_uni yield their slots to this round's

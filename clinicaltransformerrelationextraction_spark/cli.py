@@ -8,10 +8,13 @@ are out of scope — training remains a torch job fed from the candidate
 tables (SURVEY.md §7.1.10).
 
 Usage (spark-submit shape; build ctre.zip with
-``python -m tools.make_pyfiles`` — deterministic, tested end-to-end in
-tests/test_pyfiles_submit.py):
+``python -m tools.make_pyfiles``, launch through the application-file
+wrapper ``tools/ctre_submit.py`` — spark-submit has no ``-m`` flag —
+both tested end-to-end in tests/test_pyfiles_submit.py; locally the
+module form ``python -m clinicaltransformerrelationextraction_spark.cli``
+works directly):
 
-    spark-submit --py-files ctre.zip -m clinicaltransformerrelationextraction_spark.cli \\
+    spark-submit --master <cluster> --py-files ctre.zip tools/ctre_submit.py \\
         predict --input /data/documents --output /out/run1 \\
         --scorer stub --max-seq-length 512 --data-format-mode 0
 
@@ -63,6 +66,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data-format-mode", type=int, default=0,
                    choices=[0, 1], help="0=sep [CLS]S1[SEP]S2[SEP], "
                                         "1=uni [CLS]S1S2[SEP]")
+    p.add_argument("--classification-scheme", type=int, default=2,
+                   choices=[0, 1, 2, 3],
+                   help="classifier head over pooled/marker hidden states "
+                        "(reference --classification_scheme; npt/hf "
+                        "backends)")
     p.add_argument("--binary-mode", action="store_true",
                    help="REL/NonRel head + (type1,type2)->relation map "
                         "(post_processing.py:108-139)")
@@ -82,6 +90,7 @@ def _cfg_from(args: argparse.Namespace) -> PipelineConfig:
         batch_size=args.eval_batch_size,
         max_pairs_per_doc=args.max_pairs_per_doc,
         data_format_mode=args.data_format_mode,
+        classification_scheme=args.classification_scheme,
     )
     if args.config_json:
         with open(args.config_json) as f:

@@ -139,6 +139,11 @@ class PipelineConfig:
     # (reference --data_format_mode, src/task.py:41-49) — routes both the
     # tokenizer AND the scorer input encoding
     data_format_mode: int = 0
+    # classifier-head shape over pooled/marker hidden states (reference
+    # --classification_scheme, src/relation_extraction.py:87, default 2 =
+    # [pooled, s1, e1, s2, e2]); consumed by the npt/hf transformer
+    # backends (operators/minibert.py), ignored by stub/mlp
+    classification_scheme: int = 2
     # IVF ANN: cells probed per query — the recall/cost dial (see
     # operators/similarity.py for the measured recall curve)
     ann_nprobe: int = ANN_NPROBE

@@ -1,0 +1,250 @@
+"""Deterministic pure-numpy mini-transformer scorer backend (``npt``).
+
+The reference's production scorer is a BERT-style sequence classifier
+whose classifier head consumes the hidden states GATHERED AT THE FOUR
+ENTITY-MARKER POSITIONS (``BaseModel.special_tag_representation`` /
+``output2logits``, reference src/models.py:62-94; ``--classification
+_scheme`` default 2, src/relation_extraction.py:87). The ``hf`` backend
+wires the real HuggingFace stack but is env-gated (no torch wheels in
+this container), and the ``stub``/``mlp`` backends cover parity and
+throughput but never execute the scheme gather.
+
+This module executes it: a seeded, deterministic numpy transformer —
+token/position/segment embeddings, masked multi-head self-attention,
+post-layer-norm residual blocks, a tanh pooler — and the reference's
+exact scheme-0/1/2/3 head shapes:
+
+    scheme 0: classifier( pooled )                            (h)
+    scheme 1: classifier( [pooled, rep(s1), rep(s2)] )        (3h)
+    scheme 2: classifier( [pooled, rep(s1), rep(e1),
+                           rep(s2), rep(e2)] )                (5h)
+    scheme 3: classifier( [rep(s1), rep(s2)] )                (2h)
+
+where ``rep(tag)`` is the final-layer hidden state at the position whose
+input id equals that marker's id. Marker tokens get DEDICATED vocabulary
+ids — the whitespace analog of ``tokenizer.add_tokens(SPEC_TAGS)`` +
+``resize_token_embeddings`` (reference src/task.py:192-196, mirrored by
+scoring.hf_add_marker_tokens). Weights are random-seeded, not learned:
+the backend is for executing and TESTING the full runtime shape
+(encode -> forward -> gather -> softmax) batched over Arrow, not for
+accuracy; ``stub`` remains the oracle-parity backend and ``mlp`` the
+throughput stand-in.
+
+Everything is float64 numpy; masked attention makes a row's logits
+independent of what it is batched with, up to BLAS accumulation order
+over the padded key dimension (masked keys carry exactly 0.0 attention
+weight, but matmul blocking differs with batch width — observed drift
+≤1e-12). The scorer therefore emits probabilities rounded to 9 decimals,
+so emitted labels and scores are stable across Arrow batch boundaries
+and partitionings (pinned end-to-end by tests/test_npt_scorer.py).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from ..config import SPEC_TAGS, PipelineConfig
+
+# ids 0..6 are reserved; word ids hash into [N_RESERVED, N_RESERVED+VOCAB)
+PAD_ID, CLS_ID, SEP_ID = 0, 1, 2
+TAG_IDS = {t: 3 + k for k, t in enumerate(SPEC_TAGS)}  # [s1] [e1] [s2] [e2]
+N_RESERVED = 3 + len(SPEC_TAGS)
+VOCAB = 4096
+HIDDEN = 64
+N_HEADS = 2
+N_LAYERS = 2
+FFN_DIM = 128
+MAX_POS = 512
+_SCHEME_PARTS = {0: 1, 1: 3, 2: 5, 3: 2}
+# which markers each scheme gathers, in reference order (models.py:74-88)
+_SCHEME_TAGS = {
+    0: [],
+    1: [SPEC_TAGS[0], SPEC_TAGS[2]],
+    2: list(SPEC_TAGS),
+    3: [SPEC_TAGS[0], SPEC_TAGS[2]],
+}
+
+
+def token_id(tok: str) -> int:
+    """Dedicated id for marker tokens (the add_tokens analog); hashed id
+    for everything else."""
+    tid = TAG_IDS.get(tok.lower())
+    if tid is not None:
+        return tid
+    return N_RESERVED + zlib.crc32(tok.encode()) % VOCAB
+
+
+def encode_batch(
+    s1_marked, s2_marked, data_format_mode: int, max_seq_len: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ids, mask, segments) int64/float64 arrays, padded to the batch max.
+
+    sep mode (0): [CLS] s1 [SEP] s2 [SEP], segments 0|1 — the tokenizer
+    pair form hf_encode_args builds; uni mode (1): [CLS] s1 s2 [SEP].
+    Over-budget rows go through the ENTITY-CENTERED truncation (W5,
+    reference _process_seq_len) rather than tail-chopping, so the marker
+    tokens the scheme head gathers always survive — the same guarantee
+    the reference's data prep gives its tokenizer."""
+    from .scoring import truncate_pair
+    from .tokenize import truncate_uni
+
+    rows = []
+    for s1, s2 in zip(s1_marked, s2_marked):
+        if data_format_mode == 1:
+            toks = (s1 + " " + s2).split(" ")
+            budget = max_seq_len - 2
+            if len(toks) > budget:
+                toks = truncate_uni(toks, budget)
+            ids = [CLS_ID] + [token_id(t) for t in toks] + [SEP_ID]
+            segs = [0] * len(ids)
+        else:
+            ta, tb = s1.split(" "), s2.split(" ")
+            budget = max_seq_len - 3
+            if len(ta) + len(tb) > budget:
+                ta, tb = truncate_pair(ta, tb, budget)
+            a = [CLS_ID] + [token_id(t) for t in ta] + [SEP_ID]
+            b = [token_id(t) for t in tb] + [SEP_ID]
+            ids = a + b
+            segs = [0] * len(a) + [1] * len(b)
+        rows.append((ids, segs))
+
+    width = max(len(ids) for ids, _ in rows)
+    n = len(rows)
+    out_ids = np.full((n, width), PAD_ID, dtype=np.int64)
+    out_seg = np.zeros((n, width), dtype=np.int64)
+    out_mask = np.zeros((n, width), dtype=np.float64)
+    for r, (ids, segs) in enumerate(rows):
+        out_ids[r, : len(ids)] = ids
+        out_seg[r, : len(segs)] = segs
+        out_mask[r, : len(ids)] = 1.0
+    return out_ids, out_mask, out_seg
+
+
+def _layer_norm(x: np.ndarray, gamma: np.ndarray, beta: np.ndarray
+                ) -> np.ndarray:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return gamma * (x - mu) / np.sqrt(var + 1e-12) + beta
+
+
+class NptModel:
+    """Seeded mini-BERT: deterministic weights, masked MHA, post-LN."""
+
+    def __init__(self, n_labels: int, scheme: int, seed: int = 29):
+        if scheme not in _SCHEME_PARTS:
+            raise ValueError(
+                f"classification_scheme must be one of "
+                f"{sorted(_SCHEME_PARTS)}, got {scheme}"
+            )
+        self.scheme = scheme
+        self.n_labels = n_labels
+        rng = np.random.default_rng(seed)
+        h = HIDDEN
+
+        def w(*shape):
+            return rng.standard_normal(shape) / np.sqrt(shape[0])
+
+        self.emb = w(N_RESERVED + VOCAB, h)
+        self.pos = w(MAX_POS, h)
+        self.seg = w(2, h)
+        self.layers = []
+        for _ in range(N_LAYERS):
+            self.layers.append({
+                "wq": w(h, h), "wk": w(h, h), "wv": w(h, h), "wo": w(h, h),
+                "g1": np.ones(h), "b1": np.zeros(h),
+                "w1": w(h, FFN_DIM), "w2": w(FFN_DIM, h),
+                "g2": np.ones(h), "b2": np.zeros(h),
+            })
+        self.wp = w(h, h)  # pooler (tanh over [CLS])
+        self.wc = w(_SCHEME_PARTS[scheme] * h, n_labels)
+
+    def _attention(self, x: np.ndarray, mask: np.ndarray, L: dict
+                   ) -> np.ndarray:
+        n, width, h = x.shape
+        dh = h // N_HEADS
+
+        def heads(m):
+            return (x @ m).reshape(n, width, N_HEADS, dh).transpose(
+                0, 2, 1, 3)
+
+        q, k, v = heads(L["wq"]), heads(L["wk"]), heads(L["wv"])
+        scores = q @ k.transpose(0, 1, 3, 2) / np.sqrt(dh)
+        # masked keys get -inf -> exp underflows to exactly 0.0, so padded
+        # positions contribute NOTHING to unmasked rows (exact padding
+        # invariance, not approximate)
+        scores = np.where(mask[:, None, None, :] > 0, scores, -np.inf)
+        scores -= scores.max(axis=-1, keepdims=True)
+        ex = np.exp(scores)
+        att = ex / ex.sum(axis=-1, keepdims=True)
+        ctx = (att @ v).transpose(0, 2, 1, 3).reshape(n, width, h)
+        return ctx @ L["wo"]
+
+    def forward(self, ids: np.ndarray, mask: np.ndarray, segs: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray]:
+        """(seq_output [n, width, h], pooled [n, h])."""
+        width = ids.shape[1]
+        if width > MAX_POS:
+            raise ValueError(
+                f"sequence width {width} exceeds MAX_POS={MAX_POS}"
+            )
+        x = self.emb[ids] + self.pos[:width][None, :, :] + self.seg[segs]
+        for L in self.layers:
+            x = _layer_norm(x + self._attention(x, mask, L),
+                            L["g1"], L["b1"])
+            x = _layer_norm(x + np.maximum(x @ L["w1"], 0.0) @ L["w2"],
+                            L["g2"], L["b2"])
+        pooled = np.tanh(x[:, 0, :] @ self.wp)
+        return x, pooled
+
+    def gather_tag(self, seq_output: np.ndarray, ids: np.ndarray,
+                   tag: str) -> np.ndarray:
+        """Hidden state at the single position whose id == the marker's id
+        — special_tag_representation (models.py:62-70), which stacks one
+        row per example and silently assumes exactly one occurrence; here
+        the assumption is CHECKED."""
+        hits = ids == TAG_IDS[tag.lower()]
+        per_row = hits.sum(axis=1)
+        if not (per_row == 1).all():
+            bad = int(np.flatnonzero(per_row != 1)[0])
+            raise ValueError(
+                f"marker {tag} occurs {int(per_row[bad])}x in batch row "
+                f"{bad}; the scheme head needs exactly one occurrence "
+                "(entity-centered truncation upstream guarantees this "
+                "for pipeline-produced candidates)"
+            )
+        return seq_output[hits]
+
+    def logits(self, ids: np.ndarray, mask: np.ndarray, segs: np.ndarray
+               ) -> np.ndarray:
+        """output2logits (models.py:72-94): pooled/marker reps per scheme,
+        concatenated, through the linear head."""
+        seq_output, pooled = self.forward(ids, mask, segs)
+        parts = [] if self.scheme == 3 else [pooled]
+        for tag in _SCHEME_TAGS[self.scheme]:
+            parts.append(self.gather_tag(seq_output, ids, tag))
+        return np.concatenate(parts, axis=1) @ self.wc
+
+
+def make_npt_scorer(cfg: PipelineConfig, labels: list[str]):
+    """Factory for the SCORER_REGISTRY: builds the model once per executor
+    task (the executor-local model cache, like mlp) and scores each Arrow
+    batch with one vectorized encode+forward."""
+    model = NptModel(len(labels), getattr(cfg, "classification_scheme", 2))
+    mode, max_len = cfg.data_format_mode, cfg.max_seq_len
+
+    def scorer(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        ids, mask, segs = encode_batch(
+            pdf["s1_marked"], pdf["s2_marked"], mode, max_len
+        )
+        logits = model.logits(ids, mask, segs)
+        idx = logits.argmax(axis=1)
+        ex = np.exp(logits - logits.max(axis=1, keepdims=True))
+        probs = ex / ex.sum(axis=1, keepdims=True)
+        # 9-decimal rounding absorbs the ≤1e-12 batch-width accumulation
+        # drift (module docstring): emitted scores are partition-stable
+        return idx, np.round(probs[np.arange(len(idx)), idx], 9)
+
+    return scorer

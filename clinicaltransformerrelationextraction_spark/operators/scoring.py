@@ -66,30 +66,45 @@ def truncate_pair(toks_a: list[str], toks_b: list[str], budget: int,
     Pure-Python on purpose: it runs *inside* the vectorized scorer UDF only
     for rows that exceed the budget (rare), exactly like the reference runs
     it per example.
+
+    A side whose markers sit at BOTH ends is exhausted and is never popped
+    further — the reference's ``head == tail == 0`` early return
+    (src/data_utils.py:338-339), so the ``[s] entity [e]`` core always
+    survives whole (the scheme-gather head's one-occurrence precondition,
+    operators/minibert.py). The reference wastes the alternation turn on
+    an exhausted side (its flag flips regardless); shrinking the other
+    side instead is result-equivalent — each side's pop sequence depends
+    only on its own state — and terminates when both cores together still
+    exceed the budget (where the reference's loop would never return).
+    On the pipeline corpus the budget is never even reached, so this is
+    not observable in any driver query; fuzz-pinned over the full input
+    space (incl. exhausted sides) in tests/test_tokenize.py.
     """
-    def pop_one(toks: list[str], tags: tuple[str, str]) -> None:
+    def pop_one(toks: list[str], tags: tuple[str, str]) -> bool:
+        if not toks:
+            return False
         lows = [k for k, t in enumerate(toks) if t.lower() in
                 (tags[0], tags[1])]
         head_gap = lows[0] if lows else 0
         tail_gap = (len(toks) - 1 - lows[-1]) if lows else len(toks) - 1
+        if lows and head_gap == 0 and tail_gap == 0:
+            return False  # markers at both ends: side exhausted
         # reference tie-break (src/data_utils.py _truncate_helper): pop the
         # HEAD only on strictly greater head gap; ties pop the TAIL
         if head_gap > tail_gap:
             toks.pop(0)
         else:
             toks.pop()
+        return True
 
     a, b = list(toks_a), list(toks_b)
     flip = True
-    while len(a) + len(b) > budget and (a or b):
-        if flip and len(a) > 2:
-            pop_one(a, tags_a)
-        elif b and len(b) > 2:
-            pop_one(b, tags_b)
-        elif a:
-            pop_one(a, tags_a)
-        else:
-            break
+    while len(a) + len(b) > budget:
+        popped = pop_one(a, tags_a) if flip else pop_one(b, tags_b)
+        if not popped:
+            popped = pop_one(b, tags_b) if flip else pop_one(a, tags_a)
+            if not popped:
+                break  # both cores at minimum; budget unreachable
         flip = not flip
     return a, b
 
@@ -273,10 +288,21 @@ def _make_hf_scorer(cfg: PipelineConfig):  # pragma: no cover - env-gated
 # via ``register_scorer`` and select them with PipelineConfig(scorer=name) /
 # ``--scorer name`` — no engine code change (README "Custom scorer
 # backends"). The factory runs INSIDE the executor task, once per task.
+def _make_npt_scorer(cfg: PipelineConfig, labels: list[str]):
+    # deferred import: the mini-transformer is only materialized when the
+    # npt backend is actually selected
+    from .minibert import make_npt_scorer
+
+    return make_npt_scorer(cfg, labels)
+
+
 SCORER_REGISTRY: dict[str, Callable] = {
     "stub": _make_stub_scorer,
     "mlp": _make_mlp_scorer,
     "hf": lambda cfg, labels: _make_hf_scorer(cfg),
+    # deterministic numpy transformer executing the reference's
+    # scheme-gather head (operators/minibert.py)
+    "npt": _make_npt_scorer,
 }
 
 

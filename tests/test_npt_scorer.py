@@ -1,0 +1,149 @@
+"""The npt backend: a deterministic numpy transformer executing the
+reference's scheme-gather classifier head (reference src/models.py:62-94,
+--classification_scheme default 2) — the runtime shape the env-gated hf
+backend can't exercise without torch wheels.
+
+Key properties pinned here:
+- the gather really reads the hidden state at each marker's position;
+- padding invariance: a row's logits don't depend on what it is batched
+  with (masked keys carry exactly zero attention weight; residual drift
+  is BLAS accumulation order over the padded width, ≤1e-12, absorbed by
+  the scorer's 9-decimal score rounding) — which is what makes the
+  scorer safe to run over arbitrary Arrow batch boundaries and
+  partitionings in Spark (verified end-to-end: repartitioning the
+  candidates does not change a single emitted triple or score);
+- entity-centered truncation keeps all four markers, so the head's
+  one-occurrence precondition holds for every pipeline-produced row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from clinicaltransformerrelationextraction_spark.config import (
+    SPEC_TAGS, PipelineConfig,
+)
+from clinicaltransformerrelationextraction_spark.operators.minibert import (
+    CLS_ID, HIDDEN, SEP_ID, TAG_IDS, NptModel, encode_batch,
+    make_npt_scorer,
+)
+
+S1 = "the drug [s1] aspirin [e1] was given"
+S2 = "for [s2] headache [e2] relief"
+
+
+def test_sep_mode_encoding_shape_and_markers():
+    ids, mask, segs = encode_batch([S1], [S2], 0, 512)
+    row = ids[0]
+    assert row[0] == CLS_ID
+    assert (row == SEP_ID).sum() == 2
+    # each marker appears exactly once, with its dedicated id
+    for tag in SPEC_TAGS:
+        assert (row == TAG_IDS[tag]).sum() == 1
+    # segment 0 covers [CLS] s1 [SEP], segment 1 the rest
+    first_sep = int(np.flatnonzero(row == SEP_ID)[0])
+    assert segs[0, : first_sep + 1].max() == 0
+    assert segs[0, first_sep + 1 :][mask[0, first_sep + 1 :] > 0].min() == 1
+
+
+def test_uni_mode_encoding():
+    ids, mask, segs = encode_batch([S1], [S2], 1, 512)
+    row = ids[0]
+    assert row[0] == CLS_ID and (row == SEP_ID).sum() == 1
+    assert segs.max() == 0
+
+
+def test_scheme2_gather_reads_marker_positions():
+    ids, mask, segs = encode_batch([S1, S1], [S2, "x [s2] y [e2] z"], 0, 512)
+    model = NptModel(5, scheme=2)
+    seq_output, pooled = model.forward(ids, mask, segs)
+    for tag in SPEC_TAGS:
+        rep = model.gather_tag(seq_output, ids, tag)
+        for r in range(ids.shape[0]):
+            p = int(np.flatnonzero(ids[r] == TAG_IDS[tag])[0])
+            assert np.array_equal(rep[r], seq_output[r, p])
+
+
+def test_scheme_head_shapes_match_reference():
+    # models.py:49-57 — h*3 (1), h*5 (2), h*2 (3), h (0)
+    for scheme, parts in {0: 1, 1: 3, 2: 5, 3: 2}.items():
+        assert NptModel(7, scheme).wc.shape == (parts * HIDDEN, 7)
+    with pytest.raises(ValueError, match="classification_scheme"):
+        NptModel(7, scheme=4)
+
+
+def test_scheme_changes_logits():
+    ids, mask, segs = encode_batch([S1], [S2], 0, 512)
+    outs = [NptModel(5, s).logits(ids, mask, segs) for s in (0, 1, 2, 3)]
+    for a in range(len(outs)):
+        for b in range(a + 1, len(outs)):
+            assert not np.allclose(outs[a], outs[b])
+
+
+def test_padding_invariance():
+    long_s1 = "tok " * 80 + "[s1] aspirin [e1] end"
+    ids_a, m_a, s_a = encode_batch([S1], [S2], 0, 512)
+    ids_b, m_b, s_b = encode_batch([S1, long_s1], [S2, S2], 0, 512)
+    assert ids_b.shape[1] > ids_a.shape[1]  # row 0 really is padded in b
+    model = NptModel(5, scheme=2)
+    alone = model.logits(ids_a, m_a, s_a)[0]
+    batched = model.logits(ids_b, m_b, s_b)[0]
+    # identical up to BLAS accumulation order over the padded width;
+    # far inside the scorer's 9-decimal rounding
+    assert np.allclose(alone, batched, rtol=0, atol=1e-10)
+    assert alone.argmax() == batched.argmax()
+
+
+def test_missing_marker_raises():
+    ids, mask, segs = encode_batch(["no markers here"], ["none"], 0, 512)
+    model = NptModel(5, scheme=2)
+    with pytest.raises(ValueError, match=r"\[s1\] occurs 0x"):
+        model.logits(ids, mask, segs)
+
+
+def test_truncation_keeps_all_markers():
+    huge = "w " * 600 + "[s1] aspirin [e1] " + "v " * 600
+    ids, mask, segs = encode_batch([huge.strip()], [S2], 0, 128)
+    assert ids.shape[1] <= 128
+    for tag in SPEC_TAGS:
+        assert (ids[0] == TAG_IDS[tag]).sum() == 1
+
+
+def test_scorer_batch_contract():
+    pdf = pd.DataFrame({"s1_marked": [S1] * 3, "s2_marked": [S2] * 3})
+    scorer = make_npt_scorer(PipelineConfig(scorer="npt"), ["a", "b", "c"])
+    idx, score = scorer(pdf)
+    assert idx.shape == (3,) and score.shape == (3,)
+    assert ((score > 0) & (score <= 1)).all()
+    # identical rows -> identical outputs (deterministic weights)
+    assert len(set(idx.tolist())) == 1 and len(set(score.tolist())) == 1
+
+
+def test_npt_pipeline_partition_invariant(spark):
+    """End-to-end through run_pipeline, and the distributed property the
+    padding invariance buys: batch/partition boundaries don't change any
+    emitted triple or score."""
+    from pyspark.sql import functions as F
+
+    from clinicaltransformerrelationextraction_spark.plans.pipeline import (
+        load_documents, run_pipeline,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_documents(spark, SF_SMOKE).filter(F.col("doc_id") < 30)
+    cfg = PipelineConfig(scorer="npt", batch_size=64)
+    base = run_pipeline(docs, cfg).triples
+    repart = run_pipeline(docs.repartition(7), cfg).triples
+    rows_a = sorted(map(tuple, base.collect()))
+    rows_b = sorted(map(tuple, repart.collect()))
+    assert rows_a == rows_b
+    assert len(rows_a) > 0
+    # uni mode + non-default scheme also run end-to-end
+    alt = run_pipeline(
+        docs,
+        PipelineConfig(scorer="npt", data_format_mode=1,
+                       classification_scheme=3),
+    ).triples
+    assert alt.count() >= 0

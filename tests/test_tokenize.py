@@ -100,17 +100,36 @@ def test_truncate_pair_fuzz_vs_reference_port():
         lb_head, lb_tail = rng.randint(3, 25), rng.randint(3, 25)
         a, b = _mk_pair(rng, la_head, la_tail, lb_head, lb_tail)
         total = len(a) + len(b)
-        # pops bounded so neither side can shrink near the marker block:
-        # the reference has no small-side guards, ours does — constrain to
-        # the region where both are defined and must agree
-        max_pops = min(len(a), len(b)) - 4
-        budget = total - rng.randint(0, max(0, max_pops))
+        # FULL input space down to budget=6 (= both [s] ent [e] cores):
+        # the reference never pops past a side's marker core (its
+        # head==tail==0 early return), so below 6 its loop would never
+        # return — that boundary is the one case ours handles differently
+        # (it stops; covered by test_truncate_pair_exhausted_sides)
+        budget = rng.randint(6, total)
         want = _ref_process_seq_len(list(a), list(b), budget)
         got = truncate_pair(a, b, budget)
         assert got == tuple(want) or [list(got[0]), list(got[1])] == list(
             want
         ), (budget, a, b)
         assert len(got[0]) + len(got[1]) <= budget
+
+
+def test_truncate_pair_exhausted_sides():
+    # one side already at its marker core: every pop must come from the
+    # other side, and the core is never touched (the reference's
+    # head==tail==0 early return — previously ours popped the tail marker
+    # once a side reached 3 tokens)
+    core_b = ["[s2]", "d", "[e2]"]
+    a = [f"a{i}" for i in range(40)] + ["[s1]", "e", "[e1]"] + [
+        f"A{i}" for i in range(40)
+    ]
+    got_a, got_b = truncate_pair(list(a), list(core_b), budget=20)
+    assert got_b == core_b
+    assert len(got_a) + len(got_b) <= 20
+    assert "[s1]" in got_a and "[e1]" in got_a
+    # budget below both cores: stop at the cores instead of looping/eating
+    got_a2, got_b2 = truncate_pair(list(a), list(core_b), budget=3)
+    assert got_a2 == ["[s1]", "e", "[e1]"] and got_b2 == core_b
 
 
 def test_truncate_uni_fuzz_vs_reference_port():
