@@ -59,7 +59,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     # README "Custom scorer backends"); an unknown name fails later with
     # _resolve_factory's descriptive error listing what IS registered
     p.add_argument("--scorer", default="stub",
-                   help="scoring backend: stub | mlp | hf, or any "
+                   help="scoring backend: stub | mlp | npt | hf, or any "
                         "register_scorer() name (hf requires transformers)")
     p.add_argument("--max-seq-length", type=int, default=512,
                    help="token budget incl. special tokens")
@@ -69,8 +69,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--classification-scheme", type=int, default=2,
                    choices=[0, 1, 2, 3],
                    help="classifier head over pooled/marker hidden states "
-                        "(reference --classification_scheme; npt/hf "
-                        "backends)")
+                        "(reference --classification_scheme; npt backend "
+                        "only — a trained hf checkpoint's head is baked "
+                        "into its weights)")
     p.add_argument("--binary-mode", action="store_true",
                    help="REL/NonRel head + (type1,type2)->relation map "
                         "(post_processing.py:108-139)")

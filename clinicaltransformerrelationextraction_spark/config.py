@@ -141,8 +141,10 @@ class PipelineConfig:
     data_format_mode: int = 0
     # classifier-head shape over pooled/marker hidden states (reference
     # --classification_scheme, src/relation_extraction.py:87, default 2 =
-    # [pooled, s1, e1, s2, e2]); consumed by the npt/hf transformer
-    # backends (operators/minibert.py), ignored by stub/mlp
+    # [pooled, s1, e1, s2, e2]); consumed by the npt backend
+    # (operators/minibert.py). stub/mlp ignore it, and so does hf: a
+    # trained reference checkpoint BAKES its head (and therefore its
+    # scheme) into the weights — the flag cannot re-head a loaded model
     classification_scheme: int = 2
     # IVF ANN: cells probed per query — the recall/cost dial (see
     # operators/similarity.py for the measured recall curve)

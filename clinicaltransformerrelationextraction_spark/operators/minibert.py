@@ -84,27 +84,23 @@ def encode_batch(
 
     sep mode (0): [CLS] s1 [SEP] s2 [SEP], segments 0|1 — the tokenizer
     pair form hf_encode_args builds; uni mode (1): [CLS] s1 s2 [SEP].
-    Over-budget rows go through the ENTITY-CENTERED truncation (W5,
-    reference _process_seq_len) rather than tail-chopping, so the marker
-    tokens the scheme head gathers always survive — the same guarantee
-    the reference's data prep gives its tokenizer."""
-    from .scoring import truncate_pair
-    from .tokenize import truncate_uni
+    Budget arithmetic and truncation dispatch are the SHARED definitions
+    (tokenize.fit_pair_budget / fit_uni_budget): over-budget rows go
+    through the entity-centered truncation (W5) rather than tail-chopping
+    so the marker tokens the scheme head gathers survive, and a row whose
+    marker cores cannot fit raises descriptively instead of silently
+    exceeding max_seq_len."""
+    from .tokenize import fit_pair_budget, fit_uni_budget
 
     rows = []
     for s1, s2 in zip(s1_marked, s2_marked):
         if data_format_mode == 1:
-            toks = (s1 + " " + s2).split(" ")
-            budget = max_seq_len - 2
-            if len(toks) > budget:
-                toks = truncate_uni(toks, budget)
+            toks = fit_uni_budget((s1 + " " + s2).split(" "), max_seq_len)
             ids = [CLS_ID] + [token_id(t) for t in toks] + [SEP_ID]
             segs = [0] * len(ids)
         else:
-            ta, tb = s1.split(" "), s2.split(" ")
-            budget = max_seq_len - 3
-            if len(ta) + len(tb) > budget:
-                ta, tb = truncate_pair(ta, tb, budget)
+            ta, tb = fit_pair_budget(s1.split(" "), s2.split(" "),
+                                     max_seq_len)
             a = [CLS_ID] + [token_id(t) for t in ta] + [SEP_ID]
             b = [token_id(t) for t in tb] + [SEP_ID]
             ids = a + b
@@ -201,21 +197,29 @@ class NptModel:
 
     def gather_tag(self, seq_output: np.ndarray, ids: np.ndarray,
                    tag: str) -> np.ndarray:
-        """Hidden state at the single position whose id == the marker's id
-        — special_tag_representation (models.py:62-70), which stacks one
-        row per example and silently assumes exactly one occurrence; here
-        the assumption is CHECKED."""
+        """Hidden state at the marker's position per row —
+        special_tag_representation (models.py:62-70).
+
+        A missing marker raises (entity-centered truncation guarantees
+        presence for pipeline-produced rows, so absence is a real bug).
+        DUPLICATE matches can happen on dirty web text whose words
+        literally contain a marker token ('[s2]' in prose gets the
+        dedicated vocabulary id, exactly as a HF tokenizer with added
+        special tokens would encode it); the reference CRASHES there
+        (its stacked reps misalign with the batch). At pipeline scale one
+        dirty row must not kill the job, so the FIRST occurrence wins —
+        deterministic, and a no-op for every clean row."""
         hits = ids == TAG_IDS[tag.lower()]
-        per_row = hits.sum(axis=1)
-        if not (per_row == 1).all():
-            bad = int(np.flatnonzero(per_row != 1)[0])
+        has = hits.any(axis=1)
+        if not has.all():
+            bad = int(np.flatnonzero(~has)[0])
             raise ValueError(
-                f"marker {tag} occurs {int(per_row[bad])}x in batch row "
-                f"{bad}; the scheme head needs exactly one occurrence "
-                "(entity-centered truncation upstream guarantees this "
-                "for pipeline-produced candidates)"
+                f"marker {tag} occurs 0x in batch row {bad}; the scheme "
+                "head needs the marker (entity-centered truncation "
+                "upstream preserves it for pipeline-produced candidates)"
             )
-        return seq_output[hits]
+        first = hits.argmax(axis=1)
+        return seq_output[np.arange(ids.shape[0]), first]
 
     def logits(self, ids: np.ndarray, mask: np.ndarray, segs: np.ndarray
                ) -> np.ndarray:
@@ -232,8 +236,14 @@ def make_npt_scorer(cfg: PipelineConfig, labels: list[str]):
     """Factory for the SCORER_REGISTRY: builds the model once per executor
     task (the executor-local model cache, like mlp) and scores each Arrow
     batch with one vectorized encode+forward."""
-    model = NptModel(len(labels), getattr(cfg, "classification_scheme", 2))
     mode, max_len = cfg.data_format_mode, cfg.max_seq_len
+    if max_len > MAX_POS:
+        raise ValueError(
+            f"the npt backend's position table holds {MAX_POS} positions; "
+            f"max_seq_len={max_len} cannot be encoded — use the hf backend "
+            "(a Longformer-class checkpoint) for longer sequences"
+        )
+    model = NptModel(len(labels), getattr(cfg, "classification_scheme", 2))
 
     def scorer(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         ids, mask, segs = encode_batch(

@@ -166,29 +166,29 @@ def _make_mlp_scorer(cfg: PipelineConfig, labels: list[str]):
             tok_idx_cache[tok] = h
         return h
 
-    from .tokenize import truncate_uni  # worker-side import, once per task
+    # worker-side import, once per task; the SHARED budget/truncation
+    # contract (tokenize.fit_*_budget) — one definition for the feature
+    # encoder, this scorer, and the npt transformer
+    from .tokenize import fit_pair_budget, fit_uni_budget
+
+    max_len = cfg.max_seq_len
 
     def scorer(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         x = np.zeros((len(pdf), FEAT_DIM), dtype=np.float64)
         half = FEAT_DIM // 2
-        budget = 512 - 3  # max_seq_len minus special tokens (U2 contract)
         for r, (s1, s2) in enumerate(
             zip(pdf["s1_marked"].to_numpy(), pdf["s2_marked"].to_numpy())
         ):
             if uni:
                 # uni mode: ONE bag over the concatenated window (no
                 # half-split; 4-way marker truncation, data_utils.py:420)
-                toks = (s1 + " " + s2).split(" ")
-                if len(toks) > budget:
-                    toks = truncate_uni(toks, budget)
+                toks = fit_uni_budget((s1 + " " + s2).split(" "), max_len)
                 for t in toks:
                     x[r, feat_index(t)] += 1.0
                 continue
-            ta, tb = s1.split(" "), s2.split(" ")
-            if len(ta) + len(tb) > budget:
-                # entity-centered truncation, the reference's
-                # _process_seq_len semantics (rare: only huge windows)
-                ta, tb = truncate_pair(ta, tb, budget)
+            # entity-centered truncation, the reference's
+            # _process_seq_len semantics (rare: only huge windows)
+            ta, tb = fit_pair_budget(s1.split(" "), s2.split(" "), max_len)
             for t in ta:
                 x[r, feat_index(t)] += 1.0
             for t in tb:

@@ -90,14 +90,49 @@ def truncate_uni(toks: list[str], budget: int) -> list[str]:
     return toks
 
 
+def _check_budget(n_tokens: int, budget: int, max_seq_len: int) -> None:
+    if n_tokens > budget:
+        raise ValueError(
+            f"row still holds {n_tokens} tokens after truncation but the "
+            f"budget is {budget} (max_seq_len={max_seq_len}): truncation "
+            "preserves the [s]/[e] entity-marker cores, so this row cannot "
+            "fit — raise max_seq_len. (The reference's _process_seq_len "
+            "never returns on such input.)"
+        )
+
+
+def fit_pair_budget(
+    toks_a: list[str], toks_b: list[str], max_seq_len: int,
+    total_special: int = 3,
+) -> tuple[list[str], list[str]]:
+    """THE sep-mode budget contract (U2): entity-centered truncation to
+    max_seq_len - 3, with a descriptive error when the marker cores alone
+    exceed it (silent over-budget rows would break any fixed-size
+    downstream consumer). Single definition shared by the feature encoder
+    below, the mlp scorer, and the npt transformer's encoder."""
+    budget = max_seq_len - total_special
+    if len(toks_a) + len(toks_b) > budget:
+        toks_a, toks_b = truncate_pair(toks_a, toks_b, budget)
+        _check_budget(len(toks_a) + len(toks_b), budget, max_seq_len)
+    return toks_a, toks_b
+
+
+def fit_uni_budget(toks: list[str], max_seq_len: int) -> list[str]:
+    """Uni-mode twin of fit_pair_budget: budget max_seq_len - 2."""
+    budget = max_seq_len - 2
+    if len(toks) > budget:
+        toks = truncate_uni(toks, budget)
+        _check_budget(len(toks), budget, max_seq_len)
+    return toks
+
+
 def encode_pair(
     toks_a: list[str], toks_b: list[str], max_seq_len: int,
     total_special: int = 3,
 ) -> list[int]:
     """[CLS] a [SEP] b [SEP] ids under the reference budget contract."""
-    budget = max_seq_len - total_special
-    if len(toks_a) + len(toks_b) > budget:
-        toks_a, toks_b = truncate_pair(toks_a, toks_b, budget)
+    toks_a, toks_b = fit_pair_budget(toks_a, toks_b, max_seq_len,
+                                     total_special)
     return (
         [CLS_ID]
         + [tok_id(t) for t in toks_a]
@@ -109,8 +144,8 @@ def encode_pair(
 
 def encode_uni(toks: list[str], max_seq_len: int) -> list[int]:
     """[CLS] s1 s2 [SEP] ids, uni-mode budget max_seq_len - 2."""
-    toks = truncate_uni(toks, max_seq_len - 2)
-    return [CLS_ID] + [tok_id(t) for t in toks] + [SEP_ID]
+    return [CLS_ID] + [tok_id(t) for t in fit_uni_budget(toks, max_seq_len)
+                       ] + [SEP_ID]
 
 
 _FEAT_SCHEMA = T.StructType(

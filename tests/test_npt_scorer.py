@@ -103,6 +103,41 @@ def test_missing_marker_raises():
         model.logits(ids, mask, segs)
 
 
+def test_dirty_text_with_literal_marker_survives():
+    """Web text can itself contain a marker-like token; the reference
+    crashes on such rows (misaligned rep stack) — the npt gather takes
+    the first occurrence so one dirty row can't kill a corpus job."""
+    dirty_s2 = "prose mentions [s2] twice for [s2] headache [e2] relief"
+    ids, mask, segs = encode_batch([S1, S1], [S2, dirty_s2], 0, 512)
+    model = NptModel(5, scheme=2)
+    out = model.logits(ids, mask, segs)
+    assert out.shape == (2, 5) and np.isfinite(out).all()
+    # clean row unaffected by sharing a batch with the dirty one
+    solo = model.logits(*encode_batch([S1], [S2], 0, 512))
+    assert np.allclose(out[0], solo[0], rtol=0, atol=1e-10)
+
+
+def test_unfittable_marker_cores_raise_descriptively():
+    # both sides are pure marker cores wider than the budget: encode must
+    # raise the shared budget error, not emit an over-budget row that
+    # would crash later in forward (or silently violate max_seq_len)
+    core_a = "[s1] " + "e " * 30 + "[e1]"
+    core_b = "[s2] " + "d " * 30 + "[e2]"
+    with pytest.raises(ValueError, match="cannot fit"):
+        encode_batch([core_a.strip()], [core_b.strip()], 0, 16)
+
+
+def test_max_seq_len_beyond_position_table_raises():
+    from clinicaltransformerrelationextraction_spark.operators.minibert import (  # noqa: E501
+        MAX_POS,
+    )
+
+    with pytest.raises(ValueError, match=str(MAX_POS)):
+        make_npt_scorer(
+            PipelineConfig(scorer="npt", max_seq_len=MAX_POS + 1), ["a"]
+        )
+
+
 def test_truncation_keeps_all_markers():
     huge = "w " * 600 + "[s1] aspirin [e1] " + "v " * 600
     ids, mask, segs = encode_batch([huge.strip()], [S2], 0, 128)

@@ -153,16 +153,34 @@ def test_spark_submit_pyfiles_local_cluster(tmp_path, spark):
     assert got_n > 0
 
 
+def test_resolve_master():
+    """The session-factory contract that makes the CLI deployable on a
+    real cluster: under spark-submit (gateway env present) NO master is
+    defaulted in — a builder .master() call would override --master and
+    run the 'cluster' job local on the driver host. Unit-pinned here
+    because the end-to-end launcher test below runs single-machine and
+    could not tell the difference."""
+    from clinicaltransformerrelationextraction_spark.session import (
+        resolve_master,
+    )
+
+    # explicit always wins
+    assert resolve_master("local[2]", {"PYSPARK_GATEWAY_PORT": "1"}) \
+        == "local[2]"
+    # under spark-submit: defer to the submit-provided --master
+    assert resolve_master(None, {"PYSPARK_GATEWAY_PORT": "1"}) is None
+    # plain in-process: local default, honoring SPARK_GRAFT_CPUS
+    assert resolve_master(None, {}) == "local[*]"
+    assert resolve_master(None, {"SPARK_GRAFT_CPUS": "8"}) == "local[8]"
+
+
 def test_spark_submit_cli_launcher(tmp_path, spark):
     """The README's documented deployment command, verbatim shape:
     ``spark-submit --master ... --py-files dist/ctre.zip
-    tools/ctre_submit.py predict ...``.
-
-    Also pins the session-factory contract that makes it work on a real
-    cluster: under spark-submit, get_spark must NOT default in a local
-    master (which would override --master and run the "cluster" job on
-    the driver host). cwd is outside the repo and PYTHONPATH is
-    stripped, so the package resolves only from the shipped zip."""
+    tools/ctre_submit.py predict ...``. cwd is outside the repo and
+    PYTHONPATH is stripped, so the package resolves only from the
+    shipped zip (the master-resolution contract itself is unit-pinned by
+    test_resolve_master above)."""
     import json as _json
 
     import pyspark

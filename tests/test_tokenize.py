@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from clinicaltransformerrelationextraction_spark.config import (
     PipelineConfig,
     SPEC_TAGS,
@@ -130,6 +132,22 @@ def test_truncate_pair_exhausted_sides():
     # budget below both cores: stop at the cores instead of looping/eating
     got_a2, got_b2 = truncate_pair(list(a), list(core_b), budget=3)
     assert got_a2 == ["[s1]", "e", "[e1]"] and got_b2 == core_b
+
+
+def test_encode_pair_raises_when_cores_cannot_fit():
+    # the budget owner (encode layer) must never emit an over-budget ids
+    # row: marker cores wider than max_seq_len - 3 raise descriptively
+    from clinicaltransformerrelationextraction_spark.operators.tokenize import (  # noqa: E501
+        encode_pair,
+    )
+
+    a = ["[s1]"] + ["e"] * 20 + ["[e1]"]
+    b = ["[s2]"] + ["d"] * 20 + ["[e2]"]
+    with pytest.raises(ValueError, match="cannot fit"):
+        encode_pair(a, b, max_seq_len=16)
+    # fits exactly at the boundary: len == budget emits, no error
+    ids = encode_pair(a, b, max_seq_len=len(a) + len(b) + 3)
+    assert len(ids) == len(a) + len(b) + 3
 
 
 def test_truncate_uni_fuzz_vs_reference_port():

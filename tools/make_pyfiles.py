@@ -27,6 +27,7 @@ Programmatic (bench.py's scaling harness ships the package this way —
 
 from __future__ import annotations
 
+import os
 import sys
 import zipfile
 from pathlib import Path
@@ -60,7 +61,10 @@ def build_pyfiles_zip(
     """
     out = out or repo_root / "dist" / "ctre.zip"
     out.parent.mkdir(parents=True, exist_ok=True)
-    tmp = out.with_name(out.name + ".tmp")
+    # pid-suffixed scratch name: concurrent builders (a bench level and a
+    # manual `python -m tools.make_pyfiles`) each write their own file and
+    # race only on the atomic replace — last byte-identical zip wins
+    tmp = out.with_name(f"{out.name}.{os.getpid()}.tmp")
     with zipfile.ZipFile(tmp, "w", compression=zipfile.ZIP_STORED) as zf:
         for src in package_sources(repo_root):
             arcname = src.relative_to(repo_root).as_posix()
