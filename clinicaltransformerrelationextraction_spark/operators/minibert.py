@@ -232,17 +232,31 @@ class NptModel:
         return np.concatenate(parts, axis=1) @ self.wc
 
 
+def validate_config(cfg: PipelineConfig) -> None:
+    """Cheap config checks, runnable DRIVER-SIDE before the job launches
+    (scoring._resolve_factory calls this through the factory's .validate
+    hook): a bad max_seq_len/scheme must fail fast on the driver, not as
+    4x-retried task errors buried in executor logs."""
+    if cfg.max_seq_len > MAX_POS:
+        raise ValueError(
+            f"the npt backend's position table holds {MAX_POS} positions; "
+            f"max_seq_len={cfg.max_seq_len} cannot be encoded — use the hf "
+            "backend (a Longformer-class checkpoint) for longer sequences"
+        )
+    scheme = getattr(cfg, "classification_scheme", 2)
+    if scheme not in _SCHEME_PARTS:
+        raise ValueError(
+            f"classification_scheme must be one of "
+            f"{sorted(_SCHEME_PARTS)}, got {scheme}"
+        )
+
+
 def make_npt_scorer(cfg: PipelineConfig, labels: list[str]):
     """Factory for the SCORER_REGISTRY: builds the model once per executor
     task (the executor-local model cache, like mlp) and scores each Arrow
     batch with one vectorized encode+forward."""
+    validate_config(cfg)
     mode, max_len = cfg.data_format_mode, cfg.max_seq_len
-    if max_len > MAX_POS:
-        raise ValueError(
-            f"the npt backend's position table holds {MAX_POS} positions; "
-            f"max_seq_len={max_len} cannot be encoded — use the hf backend "
-            "(a Longformer-class checkpoint) for longer sequences"
-        )
     model = NptModel(len(labels), getattr(cfg, "classification_scheme", 2))
 
     def scorer(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:

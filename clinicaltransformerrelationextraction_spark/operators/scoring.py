@@ -296,6 +296,16 @@ def _make_npt_scorer(cfg: PipelineConfig, labels: list[str]):
     return make_npt_scorer(cfg, labels)
 
 
+def _validate_npt(cfg: PipelineConfig) -> None:
+    from .minibert import validate_config
+
+    validate_config(cfg)
+
+
+# driver-side fail-fast hook (see _resolve_factory)
+_make_npt_scorer.validate = _validate_npt
+
+
 SCORER_REGISTRY: dict[str, Callable] = {
     "stub": _make_stub_scorer,
     "mlp": _make_mlp_scorer,
@@ -312,7 +322,12 @@ def register_scorer(name: str, factory: Callable) -> None:
     ``factory(cfg, labels)`` must return ``scorer(pdf) -> (idx, score)``
     where idx is an int array of label indices and score a float array,
     both aligned with ``pdf`` rows (pdf carries s1_marked, s2_marked,
-    i1, i2 plus all candidate columns)."""
+    i1, i2 plus all candidate columns).
+
+    Optional: a ``factory.validate`` attribute — ``validate(cfg) ->
+    None`` — runs DRIVER-SIDE at plan time so config errors fail fast
+    instead of as retried executor task errors (the built-in npt backend
+    uses this for its max_seq_len/scheme checks)."""
     SCORER_REGISTRY[name] = factory
 
 
@@ -320,14 +335,20 @@ def _resolve_factory(cfg: PipelineConfig) -> Callable:
     """Driver-side registry lookup. The RESOLVED factory (not the registry)
     is captured in the UDF closure, so backends registered by user code —
     including in __main__, which never re-imports on executor Python
-    workers — serialize by value with the closure."""
+    workers — serialize by value with the closure. A factory's optional
+    ``validate(cfg)`` hook runs here so config errors abort at plan time
+    on the driver, not as 4x-retried executor task failures."""
     try:
-        return SCORER_REGISTRY[cfg.scorer]
+        factory = SCORER_REGISTRY[cfg.scorer]
     except KeyError:
         raise ValueError(
             f"unknown scorer {cfg.scorer!r}; registered: "
             f"{sorted(SCORER_REGISTRY)} (add yours via register_scorer)"
         ) from None
+    validate = getattr(factory, "validate", None)
+    if validate is not None:
+        validate(cfg)
+    return factory
 
 
 def score_candidates(cand: DataFrame, cfg: PipelineConfig | None = None,

@@ -101,28 +101,84 @@ def _check_budget(n_tokens: int, budget: int, max_seq_len: int) -> None:
         )
 
 
+def _n_tags(toks: list[str]) -> int:
+    tagset = {t.lower() for t in SPEC_TAGS}
+    return sum(t.lower() in tagset for t in toks)
+
+
+def _force_fit(toks: list[str], budget: int) -> list[str] | None:
+    """Deterministic last-resort fit for rows whose marker layout defeats
+    the entity-centered loops (dirty web text containing literal marker
+    tokens — the reference CRASHES on such rows: its uni 4-way unpack and
+    its gather both assume the exact marker census): keep every marker
+    token plus the first non-marker tokens that fit. None when the
+    markers alone exceed the budget."""
+    tagset = {t.lower() for t in SPEC_TAGS}
+    keep = budget - _n_tags(toks)
+    if keep < 0:
+        return None
+    out = []
+    for t in toks:
+        if t.lower() in tagset:
+            out.append(t)
+        elif keep > 0:
+            out.append(t)
+            keep -= 1
+    return out
+
+
 def fit_pair_budget(
     toks_a: list[str], toks_b: list[str], max_seq_len: int,
     total_special: int = 3,
 ) -> tuple[list[str], list[str]]:
     """THE sep-mode budget contract (U2): entity-centered truncation to
-    max_seq_len - 3, with a descriptive error when the marker cores alone
-    exceed it (silent over-budget rows would break any fixed-size
-    downstream consumer). Single definition shared by the feature encoder
-    below, the mlp scorer, and the npt transformer's encoder."""
+    max_seq_len - 3, never emitting an over-budget row. Single definition
+    shared by the feature encoder below, the mlp scorer, and the npt
+    transformer's encoder.
+
+    When the entity-centered loop exhausts while still over budget, the
+    marker census decides: a CLEAN row (exactly 2 markers per side) means
+    the entity cores genuinely don't fit — an actionable config/data
+    error, raised descriptively. A DIRTY row (prose containing literal
+    marker tokens widened the protected span) must not kill a corpus job,
+    so it gets the marker-preserving force fit instead."""
     budget = max_seq_len - total_special
     if len(toks_a) + len(toks_b) > budget:
         toks_a, toks_b = truncate_pair(toks_a, toks_b, budget)
-        _check_budget(len(toks_a) + len(toks_b), budget, max_seq_len)
+        over = len(toks_a) + len(toks_b) - budget
+        if over > 0:
+            if _n_tags(toks_a) == 2 and _n_tags(toks_b) == 2:
+                _check_budget(budget + over, budget, max_seq_len)
+            # split the budget proportionally, each side floored at its
+            # marker count so no marker is ever dropped
+            share_a = max(
+                _n_tags(toks_a),
+                budget * len(toks_a) // (len(toks_a) + len(toks_b)),
+            )
+            share_b = max(_n_tags(toks_b), budget - share_a)
+            share_a = budget - share_b
+            fa = _force_fit(toks_a, share_a)
+            fb = _force_fit(toks_b, share_b)
+            if fa is None or fb is None:
+                _check_budget(budget + over, budget, max_seq_len)
+            toks_a, toks_b = fa, fb
     return toks_a, toks_b
 
 
 def fit_uni_budget(toks: list[str], max_seq_len: int) -> list[str]:
-    """Uni-mode twin of fit_pair_budget: budget max_seq_len - 2."""
+    """Uni-mode twin of fit_pair_budget: budget max_seq_len - 2. The
+    4-way loop stalls not only on dirty marker layouts but also on clean
+    geometry (pop position landing ON a marker), so every stall falls
+    back to the marker-preserving force fit; only markers-alone-over-
+    budget raises."""
     budget = max_seq_len - 2
     if len(toks) > budget:
         toks = truncate_uni(toks, budget)
-        _check_budget(len(toks), budget, max_seq_len)
+        if len(toks) > budget:
+            fitted = _force_fit(toks, budget)
+            if fitted is None:
+                _check_budget(len(toks), budget, max_seq_len)
+            toks = fitted
     return toks
 
 

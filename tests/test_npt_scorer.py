@@ -138,6 +138,27 @@ def test_max_seq_len_beyond_position_table_raises():
         )
 
 
+def test_bad_npt_config_fails_fast_on_driver():
+    """_resolve_factory runs the factory's validate hook at plan time —
+    a bad config must raise on the driver, not as retried executor task
+    errors (no Spark session involved here at all)."""
+    from clinicaltransformerrelationextraction_spark.operators.minibert import (  # noqa: E501
+        MAX_POS,
+    )
+    from clinicaltransformerrelationextraction_spark.operators.scoring import (  # noqa: E501
+        _resolve_factory,
+    )
+
+    with pytest.raises(ValueError, match=str(MAX_POS)):
+        _resolve_factory(PipelineConfig(scorer="npt",
+                                        max_seq_len=MAX_POS + 1))
+    with pytest.raises(ValueError, match="classification_scheme"):
+        _resolve_factory(PipelineConfig(scorer="npt",
+                                        classification_scheme=9))
+    # a good config resolves without building anything
+    assert _resolve_factory(PipelineConfig(scorer="npt")) is not None
+
+
 def test_truncation_keeps_all_markers():
     huge = "w " * 600 + "[s1] aspirin [e1] " + "v " * 600
     ids, mask, segs = encode_batch([huge.strip()], [S2], 0, 128)

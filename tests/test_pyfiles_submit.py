@@ -153,6 +153,20 @@ def test_spark_submit_pyfiles_local_cluster(tmp_path, spark):
     assert got_n > 0
 
 
+def test_failed_build_leaves_no_tmp_orphan(tmp_path, monkeypatch):
+    import tools.make_pyfiles as mp
+
+    def boom(repo_root):
+        raise RuntimeError("simulated source-read failure")
+
+    monkeypatch.setattr(mp, "package_sources", boom)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated"):
+        mp.build_pyfiles_zip(tmp_path / "ctre.zip")
+    assert list(tmp_path.iterdir()) == []  # no .tmp litter, no partial zip
+
+
 def test_resolve_master():
     """The session-factory contract that makes the CLI deployable on a
     real cluster: under spark-submit (gateway env present) NO master is

@@ -150,6 +150,34 @@ def test_encode_pair_raises_when_cores_cannot_fit():
     assert len(ids) == len(a) + len(b) + 3
 
 
+def test_fit_budget_dirty_marker_rows_survive():
+    """Web prose containing literal marker tokens defeats the
+    entity-centered loops (the reference CRASHES on such rows); the fit
+    layer must keep the job alive: marker-preserving force fit, never an
+    over-budget row, never a dropped marker."""
+    from clinicaltransformerrelationextraction_spark.operators.tokenize import (  # noqa: E501
+        fit_pair_budget, fit_uni_budget,
+    )
+
+    # uni: a 5th marker-like token in prose stalls the 4-way loop
+    dirty = (
+        ["w"] * 30 + ["[s2]"] + ["w"] * 30
+        + ["[s1]", "e", "[e1]"] + ["w"] * 30 + ["[s2]", "d", "[e2]"]
+        + ["w"] * 30
+    )
+    out = fit_uni_budget(list(dirty), max_seq_len=40)
+    assert len(out) <= 38
+    assert sum(t in ("[s1]", "[e1]", "[s2]", "[e2]") for t in out) == 5
+
+    # pair: a dirty side whose prose marker widens the protected span
+    a = ["x"] * 10 + ["[s1]", "e", "[e1]"] + ["x"] * 10
+    b = ["[s2]"] + ["y"] * 40 + ["[s2]", "d", "[e2]"] + ["y"] * 40
+    fa, fb = fit_pair_budget(list(a), list(b), max_seq_len=30)
+    assert len(fa) + len(fb) <= 27
+    assert "[s1]" in fa and "[e1]" in fa
+    assert fb.count("[s2]") == 2 and "[e2]" in fb
+
+
 def test_truncate_uni_fuzz_vs_reference_port():
     rng = random.Random(29)
     for _ in range(300):

@@ -65,15 +65,19 @@ def build_pyfiles_zip(
     # manual `python -m tools.make_pyfiles`) each write their own file and
     # race only on the atomic replace — last byte-identical zip wins
     tmp = out.with_name(f"{out.name}.{os.getpid()}.tmp")
-    with zipfile.ZipFile(tmp, "w", compression=zipfile.ZIP_STORED) as zf:
-        for src in package_sources(repo_root):
-            arcname = src.relative_to(repo_root).as_posix()
-            info = zipfile.ZipInfo(arcname, date_time=_EPOCH)
-            # rw-r--r-- regular file; keeps the entry metadata constant
-            # across checkouts with different umasks
-            info.external_attr = 0o644 << 16
-            zf.writestr(info, src.read_bytes())
-    tmp.replace(out)  # atomic publish: never a half-written artifact
+    try:
+        with zipfile.ZipFile(tmp, "w", compression=zipfile.ZIP_STORED) as zf:
+            for src in package_sources(repo_root):
+                arcname = src.relative_to(repo_root).as_posix()
+                info = zipfile.ZipInfo(arcname, date_time=_EPOCH)
+                # rw-r--r-- regular file; keeps the entry metadata constant
+                # across checkouts with different umasks
+                info.external_attr = 0o644 << 16
+                zf.writestr(info, src.read_bytes())
+        tmp.replace(out)  # atomic publish: never a half-written artifact
+    except BaseException:
+        tmp.unlink(missing_ok=True)  # no pid-named orphans in dist/
+        raise
     return out
 
 
