@@ -101,30 +101,63 @@ def _check_budget(n_tokens: int, budget: int, max_seq_len: int) -> None:
         )
 
 
+_TAGSET = frozenset(t.lower() for t in SPEC_TAGS)
+
+
 def _n_tags(toks: list[str]) -> int:
-    tagset = {t.lower() for t in SPEC_TAGS}
-    return sum(t.lower() in tagset for t in toks)
+    return sum(t.lower() in _TAGSET for t in toks)
 
 
-def _force_fit(toks: list[str], budget: int) -> list[str] | None:
-    """Deterministic last-resort fit for rows whose marker layout defeats
-    the entity-centered loops (dirty web text containing literal marker
-    tokens — the reference CRASHES on such rows: its uni 4-way unpack and
-    its gather both assume the exact marker census): keep every marker
-    token plus the first non-marker tokens that fit. None when the
-    markers alone exceed the budget."""
-    tagset = {t.lower() for t in SPEC_TAGS}
-    keep = budget - _n_tags(toks)
-    if keep < 0:
+def _force_fit_sides(
+    sides: list[list[str]], budget: int
+) -> list[list[str]] | None:
+    """Deterministic last-resort fit for rows the entity-centered loops
+    cannot handle — dirty web text containing literal marker tokens (the
+    reference CRASHES on such rows: its uni 4-way unpack and its gather
+    both assume the exact marker census) or geometric stalls of the uni
+    4-way loop.
+
+    Every token across all sides is ranked by distance to the NEAREST
+    marker token and the best ``budget`` positions are kept, re-emitted
+    in original order: markers always survive, entity words sit at
+    distance 1 from their markers so they outlive far prose, and a side
+    with more marker-adjacent material keeps proportionally more. Tokens
+    inside a side's CLEAN marker-span layout (exactly the expected
+    census: 2 per pair side, 4 uni) are protected at distance 0 — a
+    clean side never loses its entity mention to a dirty sibling. None
+    when the markers alone exceed the budget (caller raises)."""
+    scored: list[tuple[int, int, int]] = []
+    n_markers = 0
+    for si, toks in enumerate(sides):
+        mpos = [i for i, t in enumerate(toks) if t.lower() in _TAGSET]
+        n_markers += len(mpos)
+        clean = len(mpos) == (4 if len(sides) == 1 else 2)
+        spans: list[tuple[int, int]] = []
+        if clean:
+            spans = [(mpos[k], mpos[k + 1])
+                     for k in range(0, len(mpos) - 1, 2)]
+        mset = set(mpos)
+        for i, t in enumerate(toks):
+            if t.lower() in _TAGSET:
+                d = -1  # markers rank before everything
+            elif any(lo < i < hi for lo, hi in spans) or (
+                i - 1 in mset and i + 1 in mset
+            ):
+                # entity word: inside a clean core, or flanked by markers
+                # on both sides even in a dirty layout
+                d = 0
+            elif mpos:
+                d = min(abs(i - m) for m in mpos)
+            else:
+                d = len(toks) + i  # markerless side: drop tail first
+            scored.append((d, si, i))
+    if n_markers > budget:
         return None
-    out = []
-    for t in toks:
-        if t.lower() in tagset:
-            out.append(t)
-        elif keep > 0:
-            out.append(t)
-            keep -= 1
-    return out
+    keep = {(si, i) for _, si, i in sorted(scored)[:budget]}
+    return [
+        [t for i, t in enumerate(toks) if (si, i) in keep]
+        for si, toks in enumerate(sides)
+    ]
 
 
 def fit_pair_budget(
@@ -145,40 +178,39 @@ def fit_pair_budget(
     budget = max_seq_len - total_special
     if len(toks_a) + len(toks_b) > budget:
         toks_a, toks_b = truncate_pair(toks_a, toks_b, budget)
-        over = len(toks_a) + len(toks_b) - budget
-        if over > 0:
+        total = len(toks_a) + len(toks_b)
+        if total > budget:
             if _n_tags(toks_a) == 2 and _n_tags(toks_b) == 2:
-                _check_budget(budget + over, budget, max_seq_len)
-            # split the budget proportionally, each side floored at its
-            # marker count so no marker is ever dropped
-            share_a = max(
-                _n_tags(toks_a),
-                budget * len(toks_a) // (len(toks_a) + len(toks_b)),
-            )
-            share_b = max(_n_tags(toks_b), budget - share_a)
-            share_a = budget - share_b
-            fa = _force_fit(toks_a, share_a)
-            fb = _force_fit(toks_b, share_b)
-            if fa is None or fb is None:
-                _check_budget(budget + over, budget, max_seq_len)
-            toks_a, toks_b = fa, fb
+                _check_budget(total, budget, max_seq_len)
+            fitted = _force_fit_sides([toks_a, toks_b], budget)
+            if fitted is None:
+                _check_budget(total, budget, max_seq_len)
+            toks_a, toks_b = fitted
     return toks_a, toks_b
 
 
 def fit_uni_budget(toks: list[str], max_seq_len: int) -> list[str]:
     """Uni-mode twin of fit_pair_budget: budget max_seq_len - 2. The
     4-way loop stalls not only on dirty marker layouts but also on clean
-    geometry (pop position landing ON a marker), so every stall falls
-    back to the marker-preserving force fit; only markers-alone-over-
-    budget raises."""
+    geometry (pop position landing ON a marker). A clean row (census 4)
+    whose marker CORES genuinely exceed the budget raises the same
+    actionable error as the sep path — a misconfigured max_seq_len must
+    not silently degrade a whole corpus; every other stall falls back to
+    the marker-preserving force fit."""
     budget = max_seq_len - 2
     if len(toks) > budget:
         toks = truncate_uni(toks, budget)
         if len(toks) > budget:
-            fitted = _force_fit(toks, budget)
+            mpos = [i for i, t in enumerate(toks)
+                    if t.lower() in _TAGSET]
+            if len(mpos) == 4:
+                core = (mpos[1] - mpos[0] + 1) + (mpos[3] - mpos[2] + 1)
+                if core > budget:
+                    _check_budget(core, budget, max_seq_len)
+            fitted = _force_fit_sides([toks], budget)
             if fitted is None:
                 _check_budget(len(toks), budget, max_seq_len)
-            toks = fitted
+            toks = fitted[0]
     return toks
 
 

@@ -168,14 +168,48 @@ def test_fit_budget_dirty_marker_rows_survive():
     out = fit_uni_budget(list(dirty), max_seq_len=40)
     assert len(out) <= 38
     assert sum(t in ("[s1]", "[e1]", "[s2]", "[e2]") for t in out) == 5
+    # the ENTITY WORDS survive (distance-ranked fit keeps marker-adjacent
+    # tokens over far prose)
+    assert "e" in out and "d" in out
 
     # pair: a dirty side whose prose marker widens the protected span
     a = ["x"] * 10 + ["[s1]", "e", "[e1]"] + ["x"] * 10
     b = ["[s2]"] + ["y"] * 40 + ["[s2]", "d", "[e2]"] + ["y"] * 40
     fa, fb = fit_pair_budget(list(a), list(b), max_seq_len=30)
     assert len(fa) + len(fb) <= 27
-    assert "[s1]" in fa and "[e1]" in fa
-    assert fb.count("[s2]") == 2 and "[e2]" in fb
+    assert "[s1]" in fa and "[e1]" in fa and "e" in fa
+    assert fb.count("[s2]") == 2 and "[e2]" in fb and "d" in fb
+
+
+def test_fit_budget_clean_side_keeps_entity_despite_dirty_sibling():
+    from clinicaltransformerrelationextraction_spark.operators.tokenize import (  # noqa: E501
+        fit_pair_budget,
+    )
+
+    # a tiny CLEAN side must never lose its entity mention to a huge
+    # dirty sibling: its in-span tokens are protected
+    a = ["[s1]", "aspirin", "[e1]"]
+    b = ["[s2]"] + ["y"] * 80 + ["[s2]", "warfarin", "[e2]"]
+    fa, fb = fit_pair_budget(list(a), list(b), max_seq_len=11)
+    assert fa == ["[s1]", "aspirin", "[e1]"]
+    assert len(fa) + len(fb) <= 8
+    assert "warfarin" in fb  # distance-1 token outlives far prose
+
+
+def test_fit_uni_clean_oversize_cores_raise():
+    from clinicaltransformerrelationextraction_spark.operators.tokenize import (  # noqa: E501
+        fit_uni_budget,
+    )
+
+    # clean census (4 markers) whose cores genuinely exceed the budget:
+    # the actionable error, same contract as the sep path — not a whole
+    # corpus of silently gutted encodings
+    toks = (["[s1]"] + ["e"] * 10 + ["[e1]"]
+            + ["[s2]"] + ["d"] * 10 + ["[e2]"])
+    with pytest.raises(ValueError, match="cannot fit"):
+        fit_uni_budget(list(toks), max_seq_len=12)
+    # at-budget rows pass through untouched
+    assert fit_uni_budget(list(toks), max_seq_len=len(toks) + 2) == toks
 
 
 def test_truncate_uni_fuzz_vs_reference_port():
