@@ -28,6 +28,13 @@ __all__ = [
 
 PR_ITERS = 3  # fixed iteration count (cross-engine: both run exactly K)
 PR_UNIT = 1_000_000  # micro-unit fixed point; all arithmetic is integer
+# Max adjacency-chunk length in integer_pagerank_adj: a power-law hub's
+# out-list is split into ceil(outdeg / PR_HUB_SPLIT) rows so no single
+# collect_list row/task ever exceeds ~100k entries (~1 MB of bigints) —
+# the physical-plan knob that makes the adjacency form safe on power-law
+# graphs at 100 TB. Purely physical: output is bit-identical for ANY
+# value ≥ 1 (pytest-pinned at hub_split=2 against the edge-join form).
+PR_HUB_SPLIT = 100_000
 
 
 def _linked(spark: SparkSession, sf: str) -> DataFrame:
@@ -62,9 +69,10 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     non-negative rank domain, no float order-dependence.
     Exactly PR_ITERS rounds (a fixed-power iteration, not convergence
     detection — the contract a recursive-CTE oracle can mirror). Spark
-    side is the standard edge-join power iteration with lineage cut per
-    round; dangling nodes simply contribute nothing (their mass exits,
-    the usual simplification)."""
+    side is the hub-split adjacency-list power iteration (r6 default,
+    measured 1.4× over the edge-join form — see integer_pagerank_adj)
+    with lineage cut per round; dangling nodes simply contribute nothing
+    (their mass exits, the usual simplification)."""
     edges = (
         _linked(spark, sf)
         .select(
@@ -73,7 +81,7 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    return integer_pagerank(edges)
+    return integer_pagerank_adj(edges)
 
 
 def _edge_nodes(edges: DataFrame) -> DataFrame:
@@ -133,28 +141,46 @@ def integer_pagerank(edges: DataFrame) -> DataFrame:
     return ranks
 
 
-def integer_pagerank_adj(edges: DataFrame) -> DataFrame:
+def integer_pagerank_adj(
+    edges: DataFrame, hub_split: int = PR_HUB_SPLIT
+) -> DataFrame:
     """Adjacency-list form of :func:`integer_pagerank` — bit-identical
     output (pytest-pinned), different physical plan: the distinct edge
-    list is collapsed ONCE to a nodes-sized ``(src, dsts array, outdeg)``
+    list is collapsed ONCE to a ~nodes-sized ``(src, outdeg, dsts array)``
     frame, so each of the PR_ITERS rounds joins two nodes-sized frames and
     explodes, instead of re-shuffling the full edge table every round.
+    Measured 1.4× faster than the edge-join form on the 1.72M-edge user
+    co-action graph at sf0.1 (BENCH.md); the DEFAULT for both PageRank
+    queries since r6.
 
-    Trade-off at 100 TB: per-round shuffle drops from O(edges) to
-    O(nodes) + the exploded contribution stream, but a power-law hub's
-    out-list lands in ONE row/task (collect_list skew) — fine up to ~10^6
-    out-degree, needs hub-splitting (salt the src, split the array) past
-    that. NOT yet the default; r6 flips q_graph_pagerank/_user_pagerank to
-    it inside the driver window (window rule: changed queries need driver
-    rows the round they change). Measured at sf0.1 in BENCH.md."""
+    Per-round shuffle drops from O(edges) to O(nodes) + the exploded
+    contribution stream. The collect_list skew hazard — a power-law hub's
+    whole out-list in one row/task — is closed by HUB-SPLITTING: each
+    src's out-list is chunked into rows of at most ``hub_split`` entries
+    (one window pass: row_number + count over src), every chunk row
+    carrying the FULL outdeg so the per-edge contribution
+    ``rank div outdeg`` is unchanged. Splitting is purely physical —
+    contributions are summed per dst downstream, so the output is
+    bit-identical for any hub_split ≥ 1 (pinned at hub_split=2 vs the
+    edge-join form in tests/test_nonvacuous.py)."""
+    from pyspark.sql import Window
+
+    if hub_split < 1:
+        raise ValueError(f"hub_split must be >= 1, got {hub_split}")
     edges = edges.localCheckpoint()
     nodes = _edge_nodes(edges)
+    by_src = Window.partitionBy("src")
     adj = (
-        edges.groupBy("src")
-        .agg(
-            F.collect_list("dst").alias("dsts"),
-            F.count("*").alias("outdeg"),
+        edges.select(
+            "src",
+            "dst",
+            F.row_number().over(by_src.orderBy("dst")).alias("rn"),
+            F.count("*").over(by_src).alias("outdeg"),
         )
+        .withColumn("chunk", F.expr(f"(rn - 1) div {int(hub_split)}"))
+        .groupBy("src", "chunk", "outdeg")
+        .agg(F.collect_list("dst").alias("dsts"))
+        .drop("chunk")
         .localCheckpoint()
     )
     ranks = nodes.withColumn("rank", F.lit(PR_UNIT).cast("long"))
@@ -505,7 +531,7 @@ def q_graph_user_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     sf (15/150/1500 users), complementing the vocabulary-capped entity
     graph: same exact-arithmetic contract, same unrolled recursive-CTE
     oracle, three orders of magnitude more nodes at sf0.1."""
-    return integer_pagerank(_symmetrize(_user_edges(spark, sf)))
+    return integer_pagerank_adj(_symmetrize(_user_edges(spark, sf)))
 
 
 def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:

@@ -208,6 +208,14 @@ def _adj_equals_edgejoin(spark, edges):
         (r.entity, r.rank) for r in integer_pagerank_adj(edges).collect()
     )
     assert a == b
+    # hub_split=2 forces EVERY out-list with >2 entries through the
+    # chunked-adjacency path (multiple rows per src, each carrying the
+    # full outdeg) — splitting must be purely physical
+    c = sorted(
+        (r.entity, r.rank)
+        for r in integer_pagerank_adj(edges, hub_split=2).collect()
+    )
+    assert a == c
     assert a  # nonvacuous
     assert len({rank for _, rank in a}) > 1  # ranks actually differentiated
 
