@@ -87,6 +87,34 @@ FROM ex WHERE inter / uni >= {JACCARD_MIN}
 """
 
 
+def q_dedup_incremental() -> str:
+    """Incremental-dedup oracle (operators/incremental.py
+    q_dedup_incremental): an INDEPENDENT full-corpus recompute — the
+    same banded-LSH + exact-Jaccard pipeline as q_dedup_jaccard — with
+    the delta-side predicate, checking the module's equivalence contract
+    (incremental pairs == full pairs with ≥1 new side) across engines."""
+    from ..operators.incremental import INCR_DELTA_MOD as M
+
+    return f"""
+WITH {_SHINGLES.strip()}, {_MH.strip()}, {_BANDS.strip()}, {_PAIRS.strip()},
+ex AS (
+  SELECT p.doc_a, p.doc_b,
+    len(list_intersect(a.shingles, b.shingles))::INT AS inter,
+    (len(a.shingles) + len(b.shingles)
+     - len(list_intersect(a.shingles, b.shingles)))::INT AS uni
+  FROM mpairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, inter, uni, inter / uni AS jaccard,
+       (doc_a % {M} = 0)::INT AS a_is_new,
+       (doc_b % {M} = 0)::INT AS b_is_new
+FROM ex
+WHERE inter / uni >= {JACCARD_MIN}
+  AND (doc_a % {M} = 0 OR doc_b % {M} = 0)
+"""
+
+
 def q_dedup_clusters() -> str:
     # transitive closure + min per source = the same connected-components
     # fixpoint the Spark label-propagation loop converges to
@@ -801,8 +829,10 @@ FROM binned GROUP BY source, bin
 def q_contamination() -> str:
     """Decontamination-census oracle (operators/textstats.py
     q_contamination): probe list as VALUES, containment via
-    list_contains over the shared bigram derivation, zero-match probes
-    preserved by the left join."""
+    list_contains over the CONTAM_NGRAM-gram derivation (the same
+    config constant the Spark side reads), zero-match probes preserved
+    by the left join."""
+    from ..config import CONTAM_NGRAM as N
     from ..operators.textstats import CONTAM_PROBES
 
     # escape single quotes: the Spark side goes through typed literals,
@@ -814,8 +844,9 @@ def q_contamination() -> str:
 WITH tl AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
 bg AS (
   SELECT doc_id,
-    CASE WHEN len(tl) >= 2 THEN
-      [tl[i] || ' ' || tl[i + 1] for i in range(1, len(tl))]
+    CASE WHEN len(tl) >= {N} THEN
+      [array_to_string(tl[i:i + {N - 1}], ' ')
+       for i in range(1, len(tl) - {N - 2})]
     ELSE [] END AS bg
   FROM tl
 ),
@@ -909,11 +940,14 @@ SELECT vec_id, sub, code FROM codes
 
 def q_pq_ann_topk() -> str:
     """PQ ADC top-k oracle (operators/similarity.py q_pq_ann_topk):
-    per-query distance tables joined to the corpus codes, summed,
-    ranked with (adist, neighbor_id) tiebreak."""
-    from ..operators.similarity import TOPK
+    per-query distance tables joined to the corpus codes, summed, the
+    (adist, neighbor_id)-ranked PQ_RERANK shortlist re-ranked by exact
+    squared-L2 on the raw quantized vectors (the r6 refinement stage),
+    final top-TOPK by (dist, neighbor_id)."""
+    from ..operators.similarity import PQ_RERANK, TOPK
 
     sq = _SQ_L2.format(a="s.sv", b="c.centroid")
+    ex = _SQ_L2.format(a="qq.qe", b="nn.qe")
     return f"""
 WITH {_QE.strip()},{_pq_ctes()},
 dtab AS (
@@ -926,10 +960,23 @@ approx AS (
   FROM codes k JOIN dtab t ON t.sub = k.sub AND t.code = k.code
   WHERE k.vec_id >= {N_QUERIES}
   GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id, adist FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adist, neighbor_id) AS srank
+    FROM approx
+  ) WHERE srank <= {PQ_RERANK}
+),
+ex AS (
+  SELECT s.query_id, s.neighbor_id, s.adist, {ex}::BIGINT AS dist
+  FROM short s
+  JOIN q qq ON qq.vec_id = s.query_id
+  JOIN q nn ON nn.vec_id = s.neighbor_id
 )
-SELECT query_id, neighbor_id, rank::INT AS rank, adist FROM (
+SELECT query_id, neighbor_id, rank::INT AS rank, dist, adist FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY adist, neighbor_id) AS rank
-  FROM approx
+                               ORDER BY dist, neighbor_id) AS rank
+  FROM ex
 ) WHERE rank <= {TOPK}
 """
