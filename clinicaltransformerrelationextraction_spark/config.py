@@ -104,6 +104,16 @@ ENTP2REL: dict[tuple[str, str], str] = {
 # PipelineConfig.ann_nprobe.
 ANN_NPROBE = 4
 
+# --- decontamination census --------------------------------------------------
+# n-gram window length for the benchmark-contamination scan
+# (operators/textstats.py q_contamination). Real decontamination practice
+# uses longer windows (8-13 grams) than the bigram shingles the dedup
+# sketches share — the census n is therefore its OWN config, not an
+# accident of reusing the bigram derivation (r5 verdict item). Single
+# source of truth for the Spark query, the DuckDB oracle twin, and the
+# probe fixtures.
+CONTAM_NGRAM = 3
+
 # --- marker tokens (readme.md:35-51) -----------------------------------------
 S1_OPEN, S1_CLOSE = "[s1]", "[e1]"
 S2_OPEN, S2_CLOSE = "[s2]", "[e2]"

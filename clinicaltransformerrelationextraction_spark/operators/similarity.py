@@ -449,6 +449,13 @@ def q_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
 PQ_M = 32  # subspaces
 PQ_SUB = 2  # dims per subspace (PQ_M * PQ_SUB == embedding dim)
 PQ_SPLIT = 8  # codebook entries per label: code = label*SPLIT + vec_id%SPLIT
+# ADC shortlist size k' for the exact re-rank stage (the standard IVF-PQ
+# refinement, r6): the ADC scan keeps the top PQ_RERANK per query, exact
+# L2 runs on those queries x k' rows only, and the final top-TOPK ranks
+# by exact distance. Measured recall@10 vs exact L2 at sf0.001:
+# no re-rank 0.59 -> k'=20: 0.76 -> k'=40: 0.94 (floor-asserted 0.9 in
+# tests/test_scale_features.py).
+PQ_RERANK = 40
 
 
 def _pq_subvecs(df: DataFrame) -> DataFrame:
@@ -534,22 +541,29 @@ def q_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """PQ asymmetric-distance (ADC) top-k: each query precomputes a
-    PQ_M × n_codes distance TABLE (exact bigint squared-L2 from its raw
-    subvectors to every codebook centroid), and a corpus vector's
-    approximate distance is the SUM of table lookups at its stored
-    codes — the corpus is scanned as (vec_id, sub, code) ints only, its
-    raw vectors never touched at query time. That is the property that
-    matters at 10^12 vectors: the scan side is bytes per vector, the
-    float work is queries × codebook. The distance tables
-    (n_queries × PQ_M × n_codes rows) are the broadcast side; top-k
-    keeps the rank<=k window with its partial WindowGroupLimit.
-    Approximate by construction — recall vs the brute top-k is
-    measured and floor-asserted in tests."""
+    """PQ asymmetric-distance (ADC) top-k WITH exact re-rank: each query
+    precomputes a PQ_M × n_codes distance TABLE (exact bigint squared-L2
+    from its raw subvectors to every codebook centroid), a corpus
+    vector's approximate distance is the SUM of table lookups at its
+    stored codes, the ADC scan keeps a PQ_RERANK-deep shortlist per
+    query, and the final top-TOPK ranks the shortlist by EXACT
+    squared-L2 on the raw quantized vectors — the standard IVF-PQ
+    refinement (r6: lifts recall@10 from the ADC-only 0.59 to ≥0.9,
+    floor-asserted).
+
+    Scale shape: the CORPUS is still scanned as (vec_id, sub, code) ints
+    only — that is the property that matters at 10^12 vectors. Raw
+    vectors are touched exactly twice, both O(queries × k'): the
+    shortlist (broadcast, queries × PQ_RERANK rows) semi-drives one
+    point-lookup join into the vector table, and the query vectors
+    (N_QUERIES rows) broadcast onto the result. Distance tables
+    (n_queries × PQ_M × n_codes rows) are the broadcast side of the
+    scan; both top-k windows keep their partial WindowGroupLimit."""
     from pyspark.sql import Window
 
     cb = _pq_codebook(spark, sf).localCheckpoint()
-    subs = _pq_subvecs(_q(spark, sf))
+    q = _q(spark, sf)
+    subs = _pq_subvecs(q)
     corpus_codes = _pq_encode(
         subs.filter(F.col("vec_id") >= N_QUERIES), cb
     )
@@ -566,9 +580,28 @@ def q_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d").alias("adist"))
     )
-    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    ws = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    shortlist = (
+        approx.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= PQ_RERANK)
+        .select("query_id", "neighbor_id", "adist")
+    )
+    nv = q.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("qe").alias("nqe"))
+    qv = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("qqe")
+    )
+    exact = (
+        nv.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "neighbor_id", "adist",
+            _sq_l2(F.col("qqe"), F.col("nqe")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
     return (
-        approx.withColumn("rank", F.row_number().over(w).cast("int"))
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOPK)
-        .select("query_id", "neighbor_id", "rank", "adist")
+        .select("query_id", "neighbor_id", "rank", "dist", "adist")
     )

@@ -12,19 +12,31 @@ EN_RATIO_MIN = 0.05
 BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
-def bigrams_expr(toks):
-    """In-row bigram shingle array of a token-array Column (empty for
-    docs under two tokens) — the shared shingle derivation for
-    fingerprints, both cardinality sketches, and the n-gram census."""
+def ngrams_expr(toks, n: int):
+    """In-row word-n-gram array of a token-array Column (empty for docs
+    under ``n`` tokens): space-joined windows of ``n`` consecutive
+    tokens. ``n`` is a plan-time Python int, so the window join unrolls
+    to a fixed concat_ws — stays inside whole-stage codegen."""
+    if n < 2:
+        raise ValueError(f"ngrams_expr needs n >= 2, got {n}")
     return F.when(
-        F.size(toks) >= 2,
+        F.size(toks) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                " ", *[F.element_at(toks, i + k) for k in range(n)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def bigrams_expr(toks):
+    """In-row bigram shingle array of a token-array Column (empty for
+    docs under two tokens) — the shared shingle derivation for
+    fingerprints, both cardinality sketches, and the n-gram census.
+    (The contamination census uses its OWN window length, CONTAM_NGRAM,
+    via :func:`ngrams_expr`.)"""
+    return ngrams_expr(toks, 2)
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -393,14 +405,14 @@ def q_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# benchmark decontamination probe set: bigrams that occur in the synthetic
-# corpus (hit path) and one that cannot (miss path — the zero-match row)
+# benchmark decontamination probe set: CONTAM_NGRAM-grams that occur in
+# the synthetic corpus at every tested scale factor (hit path) and one
+# that cannot (miss path — the zero-match row)
 CONTAM_PROBES = [
-    "batch batch",
-    "window window",
-    "the fast",
-    "join order",
-    "zz_never zz_seen",
+    "small query line",
+    "query big part",
+    "join part filter",
+    "zz_never zz_seen zz_gone",
 ]
 
 
@@ -408,17 +420,24 @@ def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark-contamination scan — before training, count how many
     corpus documents contain each probe n-gram from a benchmark/eval set
     (the decontamination census): one row per probe with the number of
-    containing docs and the contamination rate over the corpus.
+    containing docs and the contamination rate over the corpus. The
+    window length is config.CONTAM_NGRAM (its own dial since r6 — real
+    decontamination uses longer windows than the dedup shingles), shared
+    with the oracle twin.
 
     Scale shape: the probe set is the BROADCAST side (a benchmark's
     n-grams are tiny next to the corpus) crossed against the per-doc
-    bigram arrays in a single corpus scan — the corpus is read once,
+    n-gram arrays in a single corpus scan — the corpus is read once,
     never shuffled, and the per-probe counts are a K-row aggregate.
     Probes with zero matches stay in the output (left join from the
     probe list), so an all-clean corpus yields explicit zeros, not an
     empty frame."""
+    from ..config import CONTAM_NGRAM
+
     d = _docs(spark, sf)
-    bg = d.select("doc_id", bigrams_expr(F.split("text", " ")).alias("bg"))
+    bg = d.select(
+        "doc_id", ngrams_expr(F.split("text", " "), CONTAM_NGRAM).alias("bg")
+    )
     probes = spark.createDataFrame(
         [(p,) for p in CONTAM_PROBES], "probe string"
     )

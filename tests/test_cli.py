@@ -163,7 +163,7 @@ def test_cli_analyze(spark, tmp_path):
     # zero-match probe survives as an explicit zero row
     row = (
         spark.read.parquet(out + "/contamination")
-        .filter(F.col("probe") == "zz_never zz_seen")
+        .filter(F.col("probe") == "zz_never zz_seen zz_gone")
         .first()
     )
     assert row is not None and row.n_docs == 0

@@ -345,17 +345,20 @@ def test_pages_latest_is_single_aggregate_no_window(spark):
 
 
 def test_pq_adc_broadcasts_tables_keeps_window_group_limit(spark):
-    """The ADC plan must broadcast BOTH small sides — the codebook into
-    the encoding joins and the per-query distance tables into the
+    """The ADC plan must broadcast EVERY small side — the codebook into
+    the encoding joins, the per-query distance tables into the
     corpus-codes join (the property that keeps the corpus scan
-    shuffle-light at 10^12 vectors) — and the rank<=k filter must keep
-    its partial WindowGroupLimit."""
+    shuffle-light at 10^12 vectors), and since r6 the shortlist + query
+    vectors into the exact re-rank joins (raw vectors are touched only
+    via queries × PQ_RERANK point lookups, never shuffled) — and BOTH
+    top-k windows (ADC shortlist srank, exact-dist rank) must keep their
+    partial + final WindowGroupLimit pairs."""
     from clinicaltransformerrelationextraction_spark.operators.similarity import (
         q_pq_ann_topk,
     )
 
     plan = _plan(q_pq_ann_topk(spark, SF_SMOKE))
     nodes = _nodes(plan)
-    assert nodes.count("BroadcastHashJoin") >= 2, nodes
+    assert nodes.count("BroadcastHashJoin") >= 4, nodes
     assert "SortMergeJoin" not in nodes
-    assert nodes.count("WindowGroupLimit") == 2
+    assert nodes.count("WindowGroupLimit") == 4

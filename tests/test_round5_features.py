@@ -84,20 +84,27 @@ def test_pages_latest_matches_pure_python(spark):
 
 
 def test_contamination_matches_pure_python(spark):
+    """Census counts recomputed in pure Python over CONTAM_NGRAM-token
+    windows — the r6 verdict's 3+-gram probe test: the census window is
+    its own config (real decontamination uses longer n-grams than the
+    dedup bigram shingles)."""
+    from clinicaltransformerrelationextraction_spark.config import CONTAM_NGRAM
     from clinicaltransformerrelationextraction_spark.operators.textstats import (
         CONTAM_PROBES,
         q_contamination,
     )
 
+    assert CONTAM_NGRAM >= 3  # the census must NOT ride the dedup bigrams
     rows = _docs_rows()
     expected = {p: 0 for p in CONTAM_PROBES}
     for _doc_id, text, _lang, _source in rows:
         toks = text.split(" ")
-        bigrams = {
-            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        grams = {
+            " ".join(toks[i : i + CONTAM_NGRAM])
+            for i in range(len(toks) - CONTAM_NGRAM + 1)
         }
         for p in CONTAM_PROBES:
-            if p in bigrams:
+            if p in grams:
                 expected[p] += 1
     got = {
         r.probe: (r.n_docs, r.contamination_rate)
@@ -107,7 +114,7 @@ def test_contamination_matches_pure_python(spark):
     for p, n in expected.items():
         assert got[p][0] == n
         assert abs(got[p][1] - n / len(rows)) < 1e-12
-    assert got["zz_never zz_seen"][0] == 0  # the designed miss probe
+    assert got["zz_never zz_seen zz_gone"][0] == 0  # the designed miss probe
     assert sum(n for n, _ in got.values()) > 0  # and real hits exist
 
 

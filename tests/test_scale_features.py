@@ -276,4 +276,7 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     hits = sum(len(want[k] & got[k]) for k in want)
     total = sum(len(v) for v in want.values())
     recall = hits / total
-    assert recall >= 0.5, recall  # measured 0.59 at (32, 2, 80 codes)
+    # r6 exact re-rank stage: ADC-only measured 0.59 at (32, 2, 80
+    # codes); the PQ_RERANK=40 shortlist + exact-L2 re-rank must clear
+    # the production-grade floor
+    assert recall >= 0.9, recall
