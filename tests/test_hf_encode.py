@@ -83,3 +83,214 @@ def test_fake_tokenizer_invocation_shape():
     (got_args, got_kwargs), = tok.calls
     assert got_args == (["p [s1] q [e1]"], ["[s2] r [e2]"])
     assert got_kwargs["truncation"] and got_kwargs["max_length"] == 512
+
+
+# --- fake-torch contract test: _make_hf_scorer's OWN body ------------------
+# (r6, the r5 verdict's #5 ask). Everything the factory touches —
+# AutoTokenizer.from_pretrained, add_tokens, AutoModel.from_pretrained,
+# resize_token_embeddings, eval, the tokenizer __call__, torch.no_grad,
+# the logits -> (argmax, softmax) tail, and the executor-local model
+# cache — runs end to end against sys.modules-injected torch/transformers
+# stubs exposing EXACTLY that surface. Only the real forward stays
+# environment-gated.
+
+
+class _FakeHFTokenizer(FakeTokenizer):
+    """FakeTokenizer + the vocab-size and encoding surface the scorer
+    body needs: len() for resize_token_embeddings, and a deterministic
+    __call__ whose 'encoding' carries per-row whitespace token counts the
+    fake model turns into logits."""
+
+    BASE_VOCAB = 100
+
+    def __len__(self):
+        return self.BASE_VOCAB + len(self.added)
+
+    def __call__(self, *args, **kwargs):
+        self.calls.append((args, kwargs))
+        if len(args) == 2:  # sep pair form
+            rows = [
+                (len(a.split()), len(b.split()))
+                for a, b in zip(args[0], args[1])
+            ]
+        else:  # uni concatenated form
+            rows = [(len(t.split()), 0) for t in args[0]]
+        return {"input_ids": rows}
+
+
+class _FakeSeqClsModel:
+    N_LABELS = 5
+
+    def __init__(self, path):
+        self.path = path
+        self.resized_to = None
+        self.eval_called = False
+
+    def resize_token_embeddings(self, n):
+        self.resized_to = n
+
+    def eval(self):
+        self.eval_called = True
+
+    @staticmethod
+    def logits_for(rows):
+        import numpy as np
+
+        return np.array(
+            [
+                [
+                    float((a * 31 + b * 17 + i * 7 + j * j * 5) % 23)
+                    for j in range(_FakeSeqClsModel.N_LABELS)
+                ]
+                for i, (a, b) in enumerate(rows)
+            ]
+        )
+
+    def __call__(self, input_ids):
+        class _T:
+            def __init__(self, arr):
+                self._arr = arr
+
+            def numpy(self):
+                return self._arr
+
+        class _Out:
+            pass
+
+        out = _Out()
+        out.logits = _T(self.logits_for(input_ids))
+        return out
+
+
+def _install_fake_torch(monkeypatch, created):
+    import contextlib
+    import sys
+    import types
+
+    torch_mod = types.ModuleType("torch")
+    torch_mod.no_grad_entered = 0
+
+    @contextlib.contextmanager
+    def _no_grad():
+        torch_mod.no_grad_entered += 1
+        yield
+
+    torch_mod.no_grad = _no_grad
+
+    tf_mod = types.ModuleType("transformers")
+
+    class AutoTokenizer:
+        @staticmethod
+        def from_pretrained(path):
+            tok = _FakeHFTokenizer()
+            created.setdefault("tok_paths", []).append(path)
+            created["tok"] = tok
+            return tok
+
+    class AutoModelForSequenceClassification:
+        @staticmethod
+        def from_pretrained(path):
+            m = _FakeSeqClsModel(path)
+            created.setdefault("model_paths", []).append(path)
+            created["model"] = m
+            return m
+
+    tf_mod.AutoTokenizer = AutoTokenizer
+    tf_mod.AutoModelForSequenceClassification = (
+        AutoModelForSequenceClassification
+    )
+    monkeypatch.setitem(sys.modules, "torch", torch_mod)
+    monkeypatch.setitem(sys.modules, "transformers", tf_mod)
+    return torch_mod
+
+
+def test_hf_scorer_body_under_fake_torch(monkeypatch):
+    import numpy as np
+    import pandas as pd
+
+    from clinicaltransformerrelationextraction_spark.operators.scoring import (
+        _make_hf_scorer,
+    )
+
+    created: dict = {}
+    torch_mod = _install_fake_torch(monkeypatch, created)
+    cfg = PipelineConfig(
+        scorer="hf", scorer_model_path="/models/fake-bert",
+        data_format_mode=0, max_seq_len=64,
+    )
+    scorer = _make_hf_scorer(cfg)
+    pdf = pd.DataFrame(
+        {
+            "s1_marked": [
+                "pt took [s1] aspirin [e1] daily",
+                "x [s1] b [e1]",
+                "[s1] c [e1] y z",
+            ],
+            "s2_marked": [
+                "[s2] nausea [e2] noted",
+                "[s2] rash [e2]",
+                "w [s2] pain [e2]",
+            ],
+        }
+    )
+    idx, probs = scorer(pdf)
+
+    # model/tokenizer built from cfg path, markers added, matrix resized
+    # to the GROWN vocab, eval() called before inference
+    assert created["tok_paths"] == ["/models/fake-bert"]
+    assert created["model_paths"] == ["/models/fake-bert"]
+    assert created["tok"].added == list(SPEC_TAGS)
+    assert created["model"].resized_to == len(created["tok"])
+    assert created["model"].resized_to == _FakeHFTokenizer.BASE_VOCAB + 4
+    assert created["model"].eval_called
+    assert torch_mod.no_grad_entered == 1
+
+    # the tokenizer got the sep-mode pair form with truncation wiring
+    (args, kwargs), = created["tok"].calls
+    assert args == (list(pdf["s1_marked"]), list(pdf["s2_marked"]))
+    assert kwargs["truncation"] is True and kwargs["max_length"] == 64
+
+    # the (argmax, softmax-prob) tail recomputed independently
+    rows = [
+        (len(a.split()), len(b.split()))
+        for a, b in zip(pdf["s1_marked"], pdf["s2_marked"])
+    ]
+    logits = _FakeSeqClsModel.logits_for(rows)
+    want_idx = logits.argmax(axis=1)
+    ex = np.exp(logits - logits.max(axis=1, keepdims=True))
+    want_probs = (ex / ex.sum(axis=1, keepdims=True))[
+        np.arange(len(want_idx)), want_idx
+    ]
+    assert (idx == want_idx).all()
+    assert np.allclose(probs, want_probs)
+    assert len(set(idx.tolist())) > 1  # labels actually differ across rows
+
+    # executor-local cache: a second batch reuses tokenizer AND model
+    scorer(pdf)
+    assert created["tok_paths"] == ["/models/fake-bert"]
+    assert created["model_paths"] == ["/models/fake-bert"]
+    assert torch_mod.no_grad_entered == 2
+
+
+def test_hf_scorer_uni_mode_under_fake_torch(monkeypatch):
+    import pandas as pd
+
+    from clinicaltransformerrelationextraction_spark.operators.scoring import (
+        _make_hf_scorer,
+    )
+
+    created: dict = {}
+    _install_fake_torch(monkeypatch, created)
+    cfg = PipelineConfig(
+        scorer="hf", scorer_model_path="/models/fake-bert",
+        data_format_mode=1, max_seq_len=32,
+    )
+    scorer = _make_hf_scorer(cfg)
+    pdf = pd.DataFrame(
+        {"s1_marked": ["a [s1] b [e1]"], "s2_marked": ["[s2] c [e2] d"]}
+    )
+    idx, probs = scorer(pdf)
+    (args, kwargs), = created["tok"].calls
+    assert args == (["a [s1] b [e1] [s2] c [e2] d"],)
+    assert kwargs["max_length"] == 32
+    assert idx.shape == (1,) and probs.shape == (1,)

@@ -5,13 +5,15 @@ backend can't exercise without torch wheels.
 
 Key properties pinned here:
 - the gather really reads the hidden state at each marker's position;
-- padding invariance: a row's logits don't depend on what it is batched
-  with (masked keys carry exactly zero attention weight; residual drift
-  is BLAS accumulation order over the padded width, ≤1e-12, absorbed by
-  the scorer's 9-decimal score rounding) — which is what makes the
-  scorer safe to run over arbitrary Arrow batch boundaries and
-  partitionings in Spark (verified end-to-end: repartitioning the
-  candidates does not change a single emitted triple or score);
+- partition invariance: since r6 the scorer runs the forward per row at
+  that row's own width, so a row's logits are a function of its tokens
+  alone — EXACT invariance to Arrow batch boundaries and partitionings
+  by construction (verified end-to-end: repartitioning the candidates
+  does not change a single emitted triple or score). The batched
+  forward's padding invariance (masked keys carry exactly zero
+  attention weight; residual BLAS drift ≤1e-12 over the padded width)
+  is still pinned separately — it is what makes the per-row and batched
+  paths agree;
 - entity-centered truncation keeps all four markers, so the head's
   one-occurrence precondition holds for every pipeline-produced row.
 """
@@ -203,3 +205,33 @@ def test_npt_pipeline_partition_invariant(spark):
                        classification_scheme=3),
     ).triples
     assert alt.count() >= 0
+
+
+def test_scorer_exact_rowwise_invariance():
+    """r6: the scorer's per-row forward makes batch invariance EXACT —
+    scoring rows together is bit-identical (==, not allclose) to scoring
+    each row alone, including rows of very different lengths (the shape
+    that maximized padded-width drift in the batched path)."""
+    long_s1 = ("w " * 80).strip() + " [s1] aspirin [e1] " + ("v " * 80).strip()
+    pdf = pd.DataFrame(
+        {
+            "s1_marked": [S1, long_s1, "[s1] a [e1]"],
+            "s2_marked": [S2, S2, "[s2] b [e2]"],
+        }
+    )
+    scorer = make_npt_scorer(PipelineConfig(scorer="npt"), ["a", "b", "c"])
+    idx_all, score_all = scorer(pdf)
+    for r in range(len(pdf)):
+        idx_one, score_one = scorer(pdf.iloc[[r]].reset_index(drop=True))
+        assert idx_all[r] == idx_one[0]
+        assert score_all[r] == score_one[0]  # bit-exact, not approx
+
+
+def test_scorer_empty_batch():
+    """Empty Arrow batches are a legal scorer input (register_scorer
+    contract): encode_batch early-returns (0, 0) arrays and the scorer
+    yields empty outputs instead of raising (r6 advice item)."""
+    pdf = pd.DataFrame({"s1_marked": [], "s2_marked": []})
+    scorer = make_npt_scorer(PipelineConfig(scorer="npt"), ["a", "b"])
+    idx, score = scorer(pdf)
+    assert idx.shape == (0,) and score.shape == (0,)
