@@ -188,15 +188,52 @@ def _bench_incremental(spark) -> dict:
             old, old_index, old_labels, new, old_shingles
         )[1]
 
-    # reuse the shared timing discipline (1 warm-up + median of
-    # BENCH_REPEATS, all samples reported)
-    med, samples, n = _time_query(ingest, spark, BENCH_REPEATS)
+    def full(_spark, _sf):
+        return clusters_frame(docs).select("doc_id", "cluster_id")
+
+    # PAIRED A/B (r5 verdict: the lone-leg version's "vs full" claim was
+    # not reproducible from any committed JSON): both legs timed in the
+    # SAME session with INTERLEAVED order (full,inc / inc,full / ...), so
+    # a host-load burst hits both legs equally instead of whichever leg
+    # ran second — the same discipline bench --scaling uses round-to-round
+    med_full, s_full, n_full, med_inc, s_inc, n_inc = _paired_time(
+        full, ingest, spark, BENCH_REPEATS
+    )
+    assert n_full == n_inc  # both cover every doc, old and new
     return {
-        "incremental_ingest_sec": med,
-        "incremental_ingest_samples": samples,
+        "full_recompute_sec": med_full,
+        "incremental_ingest_sec": med_inc,
+        "incremental_samples": {"full": s_full, "incremental": s_inc},
         "incremental_delta_frac": round(1.0 / INC_DELTA_MOD, 2),
-        "incremental_labels_rows": n,
+        "incremental_labels_rows": n_inc,
     }
+
+
+def _paired_time(
+    fn_a, fn_b, spark, repeats: int
+) -> tuple[float, list[float], int, float, list[float], int]:
+    """Two-leg timing with interleaved order: one warm-up each, then
+    ``repeats`` rounds running (A,B) on even rounds and (B,A) on odd —
+    per-leg medians over all rounds. Returns (med_a, samples_a, rows_a,
+    med_b, samples_b, rows_b)."""
+    rows_a = fn_a(spark, SF_DIR).count()  # warm-ups
+    rows_b = fn_b(spark, SF_DIR).count()
+    samples_a: list[float] = []
+    samples_b: list[float] = []
+
+    def _one(fn, out):
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        out.append(round(time.time() - t0, 3))
+
+    for i in range(repeats):
+        legs = [(fn_a, samples_a), (fn_b, samples_b)]
+        for fn, out in legs if i % 2 == 0 else reversed(legs):
+            _one(fn, out)
+    return (
+        round(_median(samples_a), 3), samples_a, rows_a,
+        round(_median(samples_b), 3), samples_b, rows_b,
+    )
 
 
 def _bench_incremental_graph(spark) -> dict:
@@ -249,8 +286,9 @@ def _bench_incremental_graph(spark) -> dict:
             old_labels, user_star_edges_from_events(new_ev)
         )
 
-    med_full, s_full, n = _time_query(full, spark, BENCH_REPEATS)
-    med_inc, s_inc, n_inc = _time_query(inc, spark, BENCH_REPEATS)
+    med_full, s_full, n, med_inc, s_inc, n_inc = _paired_time(
+        full, inc, spark, BENCH_REPEATS
+    )
     assert n == n_inc  # same node universe either way
     return {
         "graph_full_recompute_sec": med_full,
@@ -385,7 +423,15 @@ def _level_session(cpus: str):
     (tools/make_pyfiles.py zip via SparkContext.addPyFile, the runtime
     equivalent of spark-submit --py-files; self-containment pinned by
     tests/test_pyfiles_submit.py) — the executors never see the repo on
-    PYTHONPATH. local falls back to single-JVM local[n]."""
+    PYTHONPATH. local falls back to single-JVM local[n].
+
+    NOTE: the zip ships ONLY the package — helpers defined in this bench
+    module (e.g. _warm_python_workers._identity) reach executors by
+    cloudpickle closure-by-value, which happens only when bench runs as a
+    SCRIPT (__main__). Importing bench as a module and driving the
+    scaling path would pickle them by reference and fail on executors
+    with ModuleNotFoundError: bench — run `python bench.py --scaling`,
+    never `from bench import ...` for cluster-mode paths."""
     from clinicaltransformerrelationextraction_spark.session import get_spark
 
     mode = os.environ.get("CTRE_SCALING_MASTER", "local-cluster")
