@@ -115,26 +115,32 @@ def _time_query(qfn, spark, repeats: int) -> tuple[float, list[float], int]:
     return round(_median(samples), 3), samples, cnt
 
 
-INC_DELTA_MOD = 10  # 1/10th of the corpus plays the "new crawl" delta
+# 1/10th of the corpus plays the "new crawl" delta — the SAME split the
+# driver query q_dedup_incremental and its oracle verify (single source
+# of truth; also keys the /tmp state-dir cache below)
+from clinicaltransformerrelationextraction_spark.operators.incremental import (  # noqa: E501
+    INCR_DELTA_MOD as INC_DELTA_MOD,
+)
 
 
 def _bench_incremental(spark) -> dict:
-    """Delta-ingest vs full-recompute dedup: the historical state (LSH
-    band index + shingle table + cluster labels over the 90% 'old'
-    corpus) is persisted to /tmp parquet once — it is the state a
-    production pipeline reads, not part of the ingest — then one
-    incremental_dedup ingest of the 10% delta is timed end-to-end
-    through materializing the updated full label table. Compare with
-    the q_dedup_clusters extra entry (the from-scratch recompute over
-    100% of the corpus). Measured at sf0.1: ~4.1 s vs ~5.9 s — a 1.45x
-    win CAPPED by this template corpus's pathological LSH buckets
+    """Delta-ingest vs full-recompute dedup, PAIRED in one session: the
+    historical state (LSH band index + shingle table + cluster labels
+    over the 90% 'old' corpus) is persisted to /tmp parquet once — it is
+    the state a production pipeline reads, not part of the ingest — then
+    each interleaved round times one incremental_dedup ingest of the 10%
+    delta (through materializing the updated full label table) against
+    one from-scratch clusters recompute over 100% of the corpus.
+    Measured clean at sf0.1 (bench_r6_clean.json): incremental 5.29 s vs
+    full 5.59 s — the delta leg wins every interleaved round but only by
+    ~1.06x, CAPPED by this template corpus's pathological LSH buckets
     (candidate pairs from a 10% delta touch 73% of history; only ~50
-    pairs survive the Jaccard verify), plus contraction-fixpoint fixed
-    costs that a local 6 s scale cannot amortize; the structural claim
-    that scales is that history is never re-banded or re-shingled.
-    Recomputing old shingles from text instead of reading the persisted
-    table was measured slower (5.7-8.0 s) — the columnar array read
-    beats re-tokenization."""
+    pairs survive the Jaccard verify, so the 'delta-bounded' verify set
+    is near corpus-sized HERE) plus contraction-fixpoint fixed costs a
+    ~6 s scale cannot amortize; the structural claim that scales is that
+    history is never re-banded or re-shingled. Recomputing old shingles
+    from text instead of reading the persisted table was measured slower
+    (5.7-8.0 s) — the columnar array read beats re-tokenization."""
     from pyspark.sql import functions as F
 
     from clinicaltransformerrelationextraction_spark.functions.util import (

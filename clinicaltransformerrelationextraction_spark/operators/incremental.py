@@ -417,10 +417,12 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     ``doc_id % INCR_DELTA_MOD == 0`` (~10%), history = the rest. The
     history's band index is materialized (the persisted-table analog),
     the delta is banded and joined against (index ∪ delta bands), and
-    the candidates are exact-Jaccard verified with shingles recomputed
-    ONLY for pair-involved docs — i.e. the real
-    ``incremental_candidate_pairs`` → ``incremental_verified_pairs``
-    machinery, not a special query-shaped twin.
+    the candidates are exact-Jaccard verified — the delta's shingle
+    frame computed ONCE and threaded to both banding and verify
+    (``incremental_dedup``'s shape), history's shingles recomputed only
+    for pair-involved old docs — i.e. the real ``_pairs_from_new_bands``
+    → ``incremental_verified_pairs`` machinery, not a special
+    query-shaped twin.
 
     Output: ``(doc_a, doc_b, inter, uni, jaccard, a_is_new, b_is_new)``,
     doc_a < doc_b, jaccard ≥ JACCARD_MIN, every row having ≥1 delta
@@ -437,8 +439,13 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     new_docs = docs.filter(is_delta)
     old_docs = docs.filter(~is_delta)
     old_index = bands_frame(old_docs)
-    cand = incremental_candidate_pairs(old_index, new_docs)
-    verified = incremental_verified_pairs(cand, old_docs, new_docs)
+    new_sh = shingle_frame(new_docs).localCheckpoint()
+    cand = _pairs_from_new_bands(
+        old_index, bands_from_shingles(new_sh).localCheckpoint()
+    )
+    verified = incremental_verified_pairs(
+        cand, old_docs, new_docs, new_shingles=new_sh
+    )
     return verified.select(
         "doc_a", "doc_b", "inter", "uni", "jaccard",
         (F.col("doc_a") % INCR_DELTA_MOD == 0).cast("int").alias("a_is_new"),

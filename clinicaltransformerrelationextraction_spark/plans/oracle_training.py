@@ -70,9 +70,11 @@ def q_dedup_minhash_pairs() -> str:
     )
 
 
-def q_dedup_jaccard() -> str:
-    return f"""
-WITH {_SHINGLES.strip()}, {_MH.strip()}, {_BANDS.strip()}, {_PAIRS.strip()},
+# exact-Jaccard verify CTE over the LSH candidate pairs — the single
+# definition shared by q_dedup_jaccard, q_dedup_clusters, and
+# q_dedup_incremental (the same discipline as _SHINGLES/_MH/_BANDS/_PAIRS:
+# a future fix to the set arithmetic must hit every dedup oracle at once)
+_EX = """
 ex AS (
   SELECT p.doc_a, p.doc_b,
     len(list_intersect(a.shingles, b.shingles))::INT AS inter,
@@ -81,7 +83,13 @@ ex AS (
   FROM mpairs p
   JOIN sh a ON a.doc_id = p.doc_a
   JOIN sh b ON b.doc_id = p.doc_b
-)
+)"""
+
+
+def q_dedup_jaccard() -> str:
+    return f"""
+WITH {_SHINGLES.strip()}, {_MH.strip()}, {_BANDS.strip()}, {_PAIRS.strip()},
+{_EX.strip()}
 SELECT doc_a, doc_b, inter, uni, inter / uni AS jaccard
 FROM ex WHERE inter / uni >= {JACCARD_MIN}
 """
@@ -97,15 +105,7 @@ def q_dedup_incremental() -> str:
 
     return f"""
 WITH {_SHINGLES.strip()}, {_MH.strip()}, {_BANDS.strip()}, {_PAIRS.strip()},
-ex AS (
-  SELECT p.doc_a, p.doc_b,
-    len(list_intersect(a.shingles, b.shingles))::INT AS inter,
-    (len(a.shingles) + len(b.shingles)
-     - len(list_intersect(a.shingles, b.shingles)))::INT AS uni
-  FROM mpairs p
-  JOIN sh a ON a.doc_id = p.doc_a
-  JOIN sh b ON b.doc_id = p.doc_b
-)
+{_EX.strip()}
 SELECT doc_a, doc_b, inter, uni, inter / uni AS jaccard,
        (doc_a % {M} = 0)::INT AS a_is_new,
        (doc_b % {M} = 0)::INT AS b_is_new
@@ -121,15 +121,7 @@ def q_dedup_clusters() -> str:
     return f"""
 WITH RECURSIVE {_SHINGLES.strip()}, {_MH.strip()}, {_BANDS.strip()},
 {_PAIRS.strip()},
-ex AS (
-  SELECT p.doc_a, p.doc_b,
-    len(list_intersect(a.shingles, b.shingles))::INT AS inter,
-    (len(a.shingles) + len(b.shingles)
-     - len(list_intersect(a.shingles, b.shingles)))::INT AS uni
-  FROM mpairs p
-  JOIN sh a ON a.doc_id = p.doc_a
-  JOIN sh b ON b.doc_id = p.doc_b
-),
+{_EX.strip()},
 jp AS (SELECT doc_a, doc_b FROM ex WHERE inter / uni >= {JACCARD_MIN}),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM jp
