@@ -245,23 +245,11 @@ def q_ann_ivf_topk(
     nprobe = (cfg or PipelineConfig()).ann_nprobe
     q = _q(spark, sf)
     cents = _centroids(spark, sf)
-    # nearest-centroid assignment: tiny codebook crossJoin, rank by cosine
-    # (deterministic tiebreak on label)
-    assigned = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "qe", "label",
-            cosine(F.col("qe"), F.col("centroid")).alias("ccos"),
-        )
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.desc("ccos"), F.asc("label")
-                )
-            ),
-        )
-    )
+    # nearest-centroid assignment by cosine (this query's metric;
+    # deterministic tiebreak on label)
+    assigned = _ivf_assign(
+        q, cents, cosine(F.col("qe"), F.col("centroid")), descending=True
+    ).withColumnRenamed("cdist", "ccos")
     qs = (
         assigned.filter(
             (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= nprobe)
@@ -297,6 +285,31 @@ def q_ann_ivf_topk(
         .select(
             "query_id", "neighbor_id",
             F.col("rank").cast("int").alias("rank"), "cos",
+        )
+    )
+
+
+def _ivf_assign(
+    q: DataFrame, cents: DataFrame, dist: Column, descending: bool = False
+) -> DataFrame:
+    """Coarse-quantizer cell assignment shared by the two IVF variants:
+    broadcast the tiny codebook, score every (vector, cell) pair with
+    ``dist``, and rank cells per vector with a deterministic label
+    tiebreak — ``(vec_id, qe, label, cdist, crank)``. The metric is the
+    caller's (cosine DESC for q_ann_ivf_topk, squared-L2 ASC for
+    ann_ivf_pq_topk — deliberately different, each matching the metric
+    its fine stage uses); the assignment SHAPE is this one definition."""
+    from pyspark.sql import Window
+
+    order = F.desc("cdist") if descending else F.asc("cdist")
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .select("vec_id", "qe", "label", dist.alias("cdist"))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(order, F.asc("label"))
+            ),
         )
     )
 
@@ -507,20 +520,40 @@ def _pq_codebook(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _pq_encode(subs: DataFrame, cb: DataFrame) -> DataFrame:
-    """(vec_id, sub, code): nearest codebook centroid per subspace by
-    exact bigint squared-L2, tie -> smallest code — the single encoding
-    implementation shared by q_pq_codes and the corpus side of
-    q_pq_ann_topk (the oracle's shared `codes` CTE is its SQL twin).
-    The argmin is the map-side-combinable min(struct) aggregate."""
+def _pq_encode(
+    subs: DataFrame, cb: DataFrame, extra: tuple = ()
+) -> DataFrame:
+    """(vec_id[, *extra], sub, code): nearest codebook centroid per
+    subspace by exact bigint squared-L2, tie -> smallest code — the
+    single encoding implementation shared by q_pq_codes and the corpus
+    side of q_pq_ann_topk (the oracle's shared `codes` CTE is its SQL
+    twin). The argmin is the map-side-combinable min(struct) aggregate.
+    ``extra`` names per-vector columns to carry through the encode
+    (constant per vec_id, e.g. the IVF cell) — the production shape
+    stores them WITH the codes, so downstream never joins two
+    corpus-sized frames to reunite them."""
     d = subs.join(F.broadcast(cb), "sub").select(
-        "vec_id", "sub", "code",
+        "vec_id", *extra, "sub", "code",
         _sq_l2(F.col("sv"), F.col("centroid")).alias("dist"),
     )
     return (
-        d.groupBy("vec_id", "sub")
+        d.groupBy("vec_id", *extra, "sub")
         .agg(F.min(F.struct("dist", "code")).alias("m"))
-        .select("vec_id", "sub", F.col("m.code").alias("code"))
+        .select("vec_id", *extra, "sub", F.col("m.code").alias("code"))
+    )
+
+
+def _pq_dtab(query_subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per-query ADC distance TABLE ``(query_id, sub, code, d)`` — exact
+    bigint squared-L2 from the query's raw subvectors to every codebook
+    centroid. The single definition shared by q_pq_ann_topk and
+    ann_ivf_pq_topk (its SQL twin is the oracle's dtab CTE)."""
+    return (
+        query_subs.join(F.broadcast(cb), "sub")
+        .select(
+            F.col("vec_id").alias("query_id"), "sub", "code",
+            _sq_l2(F.col("sv"), F.col("centroid")).alias("d"),
+        )
     )
 
 
@@ -559,27 +592,30 @@ def q_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     (N_QUERIES rows) broadcast onto the result. Distance tables
     (n_queries × PQ_M × n_codes rows) are the broadcast side of the
     scan; both top-k windows keep their partial WindowGroupLimit."""
-    from pyspark.sql import Window
-
     cb = _pq_codebook(spark, sf).localCheckpoint()
     q = _q(spark, sf)
     subs = _pq_subvecs(q)
     corpus_codes = _pq_encode(
         subs.filter(F.col("vec_id") >= N_QUERIES), cb
     )
-    dtab = (
-        subs.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cb), "sub")
-        .select(
-            F.col("vec_id").alias("query_id"), "sub", "code",
-            _sq_l2(F.col("sv"), F.col("centroid")).alias("d"),
-        )
-    )
+    dtab = _pq_dtab(subs.filter(F.col("vec_id") < N_QUERIES), cb)
     approx = (
         corpus_codes.join(F.broadcast(dtab), ["sub", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d").alias("adist"))
     )
+    return _adc_shortlist_rerank(approx, q)
+
+
+def _adc_shortlist_rerank(approx: DataFrame, q: DataFrame) -> DataFrame:
+    """The PQ refinement tail shared by :func:`q_pq_ann_topk` and
+    :func:`ann_ivf_pq_topk`: keep the PQ_RERANK-deep ADC shortlist per
+    query ((adist, neighbor_id) tiebreak), compute exact squared-L2 on
+    the raw quantized vectors for shortlist rows only (two broadcast
+    point-lookup joins, O(queries × k') vector touches), and rank the
+    final top-TOPK by (dist, neighbor_id)."""
+    from pyspark.sql import Window
+
     ws = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     shortlist = (
         approx.withColumn("srank", F.row_number().over(ws))
@@ -605,3 +641,69 @@ def q_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", "rank", "dist", "adist")
     )
+
+
+def ann_ivf_pq_topk(
+    spark: SparkSession, sf: str, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """IVF-PQ: the full production ANN composition — coarse cells
+    restrict WHICH corpus vectors are scanned (IVF), PQ codes restrict
+    WHAT is read per vector (ADC), and the exact re-rank restores
+    quality on the shortlist. This is the shape that serves 10^12
+    vectors: the scan side is (cell, PQ_M bytes) per vector, cell
+    pruning cuts it by ~n_cells/nprobe, and raw vectors are touched
+    only via queries × PQ_RERANK point lookups.
+
+    Everything is the already-verified pieces composed: cell assignment
+    is exact bigint squared-L2 to the broadcast coarse codebook (the
+    SAME metric PQ approximates — the cosine-based q_ann_ivf_topk keeps
+    its own metric; mixing them would make the nprobe dial lie),
+    corpus codes come from the shared ``_pq_encode``, the distance
+    tables broadcast into the cell-pruned code scan, and the tail is
+    the shared ``_adc_shortlist_rerank``. ``cfg.ann_nprobe`` is the
+    recall/scan-scope dial; at nprobe = n_cells the cell restriction is
+    vacuous and the output equals :func:`q_pq_ann_topk` EXACTLY
+    (pytest-pinned, tests/test_round6_features.py). Recall is
+    NEAR-monotone in nprobe: the fixed PQ_RERANK-deep shortlist can in
+    principle evict a true neighbor as the candidate pool grows, so the
+    dial test asserts monotonicity with a small tolerance. Registered
+    as a driver query when window slots open (round 7); until then
+    evidence is the equality pin + the recall-dial tests."""
+    from pyspark.sql import Window
+
+    nprobe = (cfg or PipelineConfig()).ann_nprobe
+    q = _q(spark, sf)
+    cents = _centroids(spark, sf)
+    assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "qe", "label",
+            _sq_l2(F.col("qe"), F.col("centroid")).alias("cdist"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("cdist", "label")
+            ),
+        )
+    )
+    qcells = assigned.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= nprobe)
+    ).select(F.col("vec_id").alias("query_id"), F.col("label").alias("cell"))
+    cb = _pq_codebook(spark, sf).localCheckpoint()
+    # cell rides THROUGH the encode (extra key) — the persisted-index
+    # shape stores (cell, codes) together, so the cell-pruned scan never
+    # joins two corpus-sized frames to reunite them (no sort-merge join
+    # anywhere, plan-asserted)
+    corpus_src = assigned.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("crank") == 1)
+    ).select("vec_id", F.col("label").alias("cell"), "qe")
+    corpus_codes = _pq_encode(_pq_subvecs(corpus_src), cb, extra=("cell",))
+    dtab = _pq_dtab(_pq_subvecs(q.filter(F.col("vec_id") < N_QUERIES)), cb)
+    approx = (
+        corpus_codes.join(F.broadcast(qcells), "cell")
+        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adist"))
+    )
+    return _adc_shortlist_rerank(approx, q)
