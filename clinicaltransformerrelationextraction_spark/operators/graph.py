@@ -23,7 +23,7 @@ __all__ = [
     "q_graph_user_pagerank",
     "q_graph_neighbor_jaccard",
     "min_label_components", "star_components", "integer_pagerank",
-    "integer_pagerank_adj", "undirected_edges",
+    "integer_pagerank_adj", "chunked_adjacency", "undirected_edges",
 ]
 
 PR_ITERS = 3  # fixed iteration count (cross-engine: both run exactly K)
@@ -141,6 +141,34 @@ def integer_pagerank(edges: DataFrame) -> DataFrame:
     return ranks
 
 
+def chunked_adjacency(edges: DataFrame, hub_split: int) -> DataFrame:
+    """Hub-split adjacency build: collapse a distinct edge list to
+    ``(src, outdeg, dsts array)`` rows with at most ``hub_split``
+    entries per array — one window pass (row_number + count over src),
+    chunk id = (rn-1) div hub_split. Every chunk row carries the FULL
+    outdeg, so per-edge arithmetic downstream is split-invariant.
+    Structural contract (pytest, tests/test_nonvacuous.py): exactly
+    ceil(outdeg / hub_split) rows per src, array lengths ≤ hub_split,
+    exploded union == the original edge set."""
+    from pyspark.sql import Window
+
+    if hub_split < 1:
+        raise ValueError(f"hub_split must be >= 1, got {hub_split}")
+    by_src = Window.partitionBy("src")
+    return (
+        edges.select(
+            "src",
+            "dst",
+            F.row_number().over(by_src.orderBy("dst")).alias("rn"),
+            F.count("*").over(by_src).alias("outdeg"),
+        )
+        .withColumn("chunk", F.expr(f"(rn - 1) div {int(hub_split)}"))
+        .groupBy("src", "chunk", "outdeg")
+        .agg(F.collect_list("dst").alias("dsts"))
+        .drop("chunk")
+    )
+
+
 def integer_pagerank_adj(
     edges: DataFrame, hub_split: int = PR_HUB_SPLIT
 ) -> DataFrame:
@@ -163,26 +191,9 @@ def integer_pagerank_adj(
     contributions are summed per dst downstream, so the output is
     bit-identical for any hub_split ≥ 1 (pinned at hub_split=2 vs the
     edge-join form in tests/test_nonvacuous.py)."""
-    from pyspark.sql import Window
-
-    if hub_split < 1:
-        raise ValueError(f"hub_split must be >= 1, got {hub_split}")
     edges = edges.localCheckpoint()
     nodes = _edge_nodes(edges)
-    by_src = Window.partitionBy("src")
-    adj = (
-        edges.select(
-            "src",
-            "dst",
-            F.row_number().over(by_src.orderBy("dst")).alias("rn"),
-            F.count("*").over(by_src).alias("outdeg"),
-        )
-        .withColumn("chunk", F.expr(f"(rn - 1) div {int(hub_split)}"))
-        .groupBy("src", "chunk", "outdeg")
-        .agg(F.collect_list("dst").alias("dsts"))
-        .drop("chunk")
-        .localCheckpoint()
-    )
+    adj = chunked_adjacency(edges, hub_split).localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(PR_UNIT).cast("long"))
     for _ in range(PR_ITERS):
         contrib = (

@@ -132,6 +132,48 @@ def encode_batch(
     return out_ids, out_mask, out_seg
 
 
+# marker partners: the clean layout is [sX] entity [eX]
+_TAG_PARTNER = {"[s1]": "[e1]", "[s2]": "[e2]",
+                "[e1]": "[s1]", "[e2]": "[s2]"}
+
+
+def resolve_marker_position(row_ids: np.ndarray, tag: str) -> int:
+    """Position of marker ``tag`` in one encoded row, robust to dirty
+    web text whose prose literally contains a marker token (r6 advice
+    item — previously plain first-occurrence).
+
+    Preference order: (1) if both the tag and its partner occur, the
+    occurrence belonging to the MINIMAL-SPAN well-ordered pair
+    (open before close, smallest close-open; ties -> earliest) — that is
+    the pair the entity-centered truncation actually wrote, while a
+    prose lookalike earlier in the row pairs wider or not at all;
+    (2) first occurrence (partner missing entirely — still deterministic,
+    still does not kill the job). A row with the tag absent raises: the
+    scheme head needs it, and upstream truncation preserves it for every
+    pipeline-produced candidate. Clean rows (exactly one occurrence per
+    marker) are a no-op under every branch."""
+    tag = tag.lower()
+    tid = TAG_IDS[tag]
+    occ = np.flatnonzero(row_ids == tid)
+    if occ.size == 0:
+        raise ValueError(
+            f"marker {tag} occurs 0x in row; the scheme head needs the "
+            "marker (entity-centered truncation upstream preserves it "
+            "for pipeline-produced candidates)"
+        )
+    if occ.size == 1:
+        return int(occ[0])
+    partner = np.flatnonzero(row_ids == TAG_IDS[_TAG_PARTNER[tag]])
+    is_open = tag.startswith("[s")
+    best: tuple[int, int] | None = None  # (span, own_position)
+    for o in occ:
+        for p in partner:
+            span = (p - o) if is_open else (o - p)
+            if span > 0 and (best is None or span < best[0]):
+                best = (int(span), int(o))
+    return best[1] if best is not None else int(occ[0])
+
+
 def _layer_norm(x: np.ndarray, gamma: np.ndarray, beta: np.ndarray
                 ) -> np.ndarray:
     mu = x.mean(axis=-1, keepdims=True)
@@ -219,20 +261,15 @@ class NptModel:
         literally contain a marker token ('[s2]' in prose gets the
         dedicated vocabulary id, exactly as a HF tokenizer with added
         special tokens would encode it); the reference CRASHES there
-        (its stacked reps misalign with the batch). At pipeline scale one
-        dirty row must not kill the job, so the FIRST occurrence wins —
-        deterministic, and a no-op for every clean row."""
-        hits = ids == TAG_IDS[tag.lower()]
-        has = hits.any(axis=1)
-        if not has.all():
-            bad = int(np.flatnonzero(~has)[0])
-            raise ValueError(
-                f"marker {tag} occurs 0x in batch row {bad}; the scheme "
-                "head needs the marker (entity-centered truncation "
-                "upstream preserves it for pipeline-produced candidates)"
-            )
-        first = hits.argmax(axis=1)
-        return seq_output[np.arange(ids.shape[0]), first]
+        (its stacked reps misalign with the batch). At pipeline scale
+        one dirty row must not kill the job: the occurrence consistent
+        with the CLEAN marker layout wins — see
+        :func:`resolve_marker_position` (minimal-span open/close
+        pairing, first-occurrence fallback; a no-op for clean rows)."""
+        pos = np.array(
+            [resolve_marker_position(row, tag) for row in ids]
+        )
+        return seq_output[np.arange(ids.shape[0]), pos]
 
     def logits(self, ids: np.ndarray, mask: np.ndarray, segs: np.ndarray
                ) -> np.ndarray:

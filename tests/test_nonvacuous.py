@@ -255,3 +255,38 @@ def test_adjacency_pagerank_matches_edgejoin_real(spark):
         .distinct()
     )
     _adj_equals_edgejoin(spark, edges)
+
+
+def test_chunked_adjacency_structure(spark):
+    """The hub-split build's structural contract: ceil(outdeg/hub_split)
+    rows per src, no array longer than hub_split, full outdeg on every
+    chunk row, and the exploded union reproduces the edge set exactly."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from clinicaltransformerrelationextraction_spark.operators.graph import (
+        chunked_adjacency,
+    )
+
+    edges = [(1, v) for v in range(100, 137)]        # 37-out hub
+    edges += [(2, 200), (2, 201)]                    # exactly one chunk at k=2
+    edges += [(3, 300)]                              # under the chunk size
+    df = spark.createDataFrame(edges, "src long, dst long")
+    adj = chunked_adjacency(df, 4).collect()
+    per_src: dict[int, list] = {}
+    for r in adj:
+        per_src.setdefault(r.src, []).append(r)
+    outdeg = {1: 37, 2: 2, 3: 1}
+    rebuilt = set()
+    for src, rows in per_src.items():
+        assert len(rows) == math.ceil(outdeg[src] / 4), (src, rows)
+        for r in rows:
+            assert len(r.dsts) <= 4
+            assert r.outdeg == outdeg[src]  # FULL outdeg on every chunk
+            rebuilt |= {(src, d) for d in r.dsts}
+    assert rebuilt == set(edges)
+    import pytest
+
+    with pytest.raises(ValueError, match="hub_split"):
+        chunked_adjacency(df, 0)

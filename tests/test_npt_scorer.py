@@ -107,8 +107,15 @@ def test_missing_marker_raises():
 
 def test_dirty_text_with_literal_marker_survives():
     """Web text can itself contain a marker-like token; the reference
-    crashes on such rows (misaligned rep stack) — the npt gather takes
-    the first occurrence so one dirty row can't kill a corpus job."""
+    crashes on such rows (misaligned rep stack) — the npt gather
+    resolves duplicates to the occurrence consistent with the clean
+    marker layout (minimal-span open/close pairing, r6) so one dirty
+    row can't kill a corpus job AND the gathered representation is the
+    real entity's, not the prose lookalike's."""
+    from clinicaltransformerrelationextraction_spark.operators.minibert import (  # noqa: E501
+        resolve_marker_position,
+    )
+
     dirty_s2 = "prose mentions [s2] twice for [s2] headache [e2] relief"
     ids, mask, segs = encode_batch([S1, S1], [S2, dirty_s2], 0, 512)
     model = NptModel(5, scheme=2)
@@ -117,6 +124,19 @@ def test_dirty_text_with_literal_marker_survives():
     # clean row unaffected by sharing a batch with the dirty one
     solo = model.logits(*encode_batch([S1], [S2], 0, 512))
     assert np.allclose(out[0], solo[0], rtol=0, atol=1e-10)
+    # the resolved [s2] is the SECOND occurrence — the one whose span to
+    # [e2] is minimal (the marker truncation actually wrote), not the
+    # prose lookalike that appears first
+    row = ids[1]
+    s2_positions = np.flatnonzero(row == TAG_IDS["[s2]"])
+    assert len(s2_positions) == 2
+    assert resolve_marker_position(row, "[s2]") == int(s2_positions[1])
+    # the close tag is unique, so it resolves to itself either way
+    e2_positions = np.flatnonzero(row == TAG_IDS["[e2]"])
+    assert resolve_marker_position(row, "[e2]") == int(e2_positions[0])
+    # partner entirely absent -> deterministic first-occurrence fallback
+    no_close = np.array([TAG_IDS["[s2]"], 99, TAG_IDS["[s2]"], 98])
+    assert resolve_marker_position(no_close, "[s2]") == 0
 
 
 def test_unfittable_marker_cores_raise_descriptively():
