@@ -191,6 +191,8 @@ def integer_pagerank_adj(
     contributions are summed per dst downstream, so the output is
     bit-identical for any hub_split ≥ 1 (pinned at hub_split=2 vs the
     edge-join form in tests/test_nonvacuous.py)."""
+    if hub_split < 1:  # fail on the driver BEFORE any eager Spark work
+        raise ValueError(f"hub_split must be >= 1, got {hub_split}")
     edges = edges.localCheckpoint()
     nodes = _edge_nodes(edges)
     adj = chunked_adjacency(edges, hub_split).localCheckpoint()

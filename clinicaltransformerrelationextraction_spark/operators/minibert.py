@@ -144,14 +144,24 @@ def resolve_marker_position(row_ids: np.ndarray, tag: str) -> int:
 
     Preference order: (1) if both the tag and its partner occur, the
     occurrence belonging to the MINIMAL-SPAN well-ordered pair
-    (open before close, smallest close-open; ties -> earliest) — that is
-    the pair the entity-centered truncation actually wrote, while a
-    prose lookalike earlier in the row pairs wider or not at all;
-    (2) first occurrence (partner missing entirely — still deterministic,
-    still does not kill the job). A row with the tag absent raises: the
-    scheme head needs it, and upstream truncation preserves it for every
-    pipeline-produced candidate. Clean rows (exactly one occurrence per
-    marker) are a no-op under every branch."""
+    (open before close, smallest close-open; ties -> earliest);
+    (2) first occurrence (partner missing entirely — still
+    deterministic, still does not kill the job). A row with the tag
+    absent raises: the scheme head needs it, and upstream truncation
+    preserves it for every pipeline-produced candidate. Clean rows
+    (exactly one occurrence per marker) are a no-op under every branch.
+
+    LIMIT (known, documented): the heuristic beats first-occurrence
+    exactly when the prose lookalike lacks a TIGHTER well-ordered
+    partner — a lone '[s2]' in prose no longer steals the gather. But a
+    prose fragment containing a complete bracket pair tighter than the
+    real entity span still wins; from the encoded ids alone the two are
+    indistinguishable (the encoder gives prose lookalikes the same
+    dedicated vocab id a HF tokenizer with added special tokens would).
+    The complete fix is pipeline-side: thread the mention CHARACTER
+    OFFSETS through the scorer schema so marker positions are data, not
+    re-derived — a candidate for a future round; the reference simply
+    crashes on every such row (models.py:62-70 stack misalignment)."""
     tag = tag.lower()
     tid = TAG_IDS[tag]
     occ = np.flatnonzero(row_ids == tid)
@@ -266,10 +276,15 @@ class NptModel:
         with the CLEAN marker layout wins — see
         :func:`resolve_marker_position` (minimal-span open/close
         pairing, first-occurrence fallback; a no-op for clean rows)."""
-        pos = np.array(
-            [resolve_marker_position(row, tag) for row in ids]
-        )
-        return seq_output[np.arange(ids.shape[0]), pos]
+        pos = []
+        for r, row in enumerate(ids):
+            try:
+                pos.append(resolve_marker_position(row, tag))
+            except ValueError as e:
+                # restore the batch row index the per-row resolver
+                # cannot know — executor logs need it to locate the row
+                raise ValueError(f"{e} (batch row {r})") from None
+        return seq_output[np.arange(ids.shape[0]), np.array(pos)]
 
     def logits(self, ids: np.ndarray, mask: np.ndarray, segs: np.ndarray
                ) -> np.ndarray:

@@ -263,8 +263,6 @@ def test_chunked_adjacency_structure(spark):
     chunk row, and the exploded union reproduces the edge set exactly."""
     import math
 
-    from pyspark.sql import functions as F  # noqa: F811
-
     from clinicaltransformerrelationextraction_spark.operators.graph import (
         chunked_adjacency,
     )
