@@ -83,7 +83,16 @@ def _q_candidates(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_predictions(spark: SparkSession, sf: str) -> DataFrame:
-    scored = score_candidates(candidates(load_documents(spark, sf), CFG), CFG)
+    from clinicaltransformerrelationextraction_spark.operators.scoring import (
+        scoring_emit,
+    )
+
+    # emit per the backend's declared input (r7): the stub consumes only
+    # window lengths, so the marked strings are never built here
+    scored = score_candidates(
+        candidates(load_documents(spark, sf), CFG, emit=scoring_emit(CFG)),
+        CFG,
+    )
     return scored.select(
         "doc_id", "ent_id_1", "ent_id_2", "ent_type_1", "ent_type_2",
         "sent_diff", "i1", "i2", "pred_label", "score",
@@ -134,8 +143,14 @@ def _q_eval_prf(spark: SparkSession, sf: str) -> DataFrame:
     from clinicaltransformerrelationextraction_spark.operators.evaluation import (
         gold_label_expr,
     )
+    from clinicaltransformerrelationextraction_spark.operators.scoring import (
+        scoring_emit,
+    )
 
-    scored = score_candidates(candidates(load_documents(spark, sf), CFG), CFG)
+    scored = score_candidates(
+        candidates(load_documents(spark, sf), CFG, emit=scoring_emit(CFG)),
+        CFG,
+    )
     with_gold = scored.withColumn(
         "gold_label",
         gold_label_expr(F.col("label_idx"), F.col("i1"), F.col("i2")),

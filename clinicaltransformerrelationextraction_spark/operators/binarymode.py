@@ -47,16 +47,28 @@ def score_binary(cand: DataFrame, cfg: PipelineConfig | None = None) -> DataFram
         T.StructField("bin_idx", T.IntegerType()),
         T.StructField("bin_score", T.DoubleType()),
     ]
-    drop = ["s1_marked", "s2_marked"]
+    # like the multiclass stub (scoring._scorer_input, r7): the binary
+    # head consumes only the window LENGTHS, so a lengths-emitting
+    # candidate frame ships two ints per row instead of two strings
+    drop = [
+        c for c in ("s1_marked", "s2_marked", "s1_len", "s2_len")
+        if c in cand.columns
+    ]
     out_schema = T.StructType([f for f in out_fields if f.name not in drop])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            if "s1_len" in pdf.columns:
+                l1 = pdf["s1_len"].to_numpy(np.int64)
+                l2 = pdf["s2_len"].to_numpy(np.int64)
+            else:
+                l1 = pdf["s1_marked"].str.len().to_numpy(np.int64)
+                l2 = pdf["s2_marked"].str.len().to_numpy(np.int64)
             raw = (
-                pdf["s1_marked"].str.len().to_numpy(np.int64)
-                + STUB_W2 * pdf["s2_marked"].str.len().to_numpy(np.int64)
+                l1
+                + STUB_W2 * l2
                 + STUB_W3
                 * (pdf["i1"].to_numpy(np.int64) + pdf["i2"].to_numpy(np.int64))
             )
@@ -106,4 +118,6 @@ def q_binary_triples(spark: SparkSession, sf: str) -> DataFrame:
     from ..plans.pipeline import load_documents
 
     cfg = PipelineConfig()
-    return binary_triples(candidates(load_documents(spark, sf), cfg), cfg)
+    return binary_triples(
+        candidates(load_documents(spark, sf), cfg, emit="lengths"), cfg
+    )

@@ -360,9 +360,28 @@ def candidates_inrow(
     )
 
 
+def _win_len(toks: Column, wst: Column, wlen: Column) -> Column:
+    """Character length of a ``_marked`` window string WITHOUT building it
+    (r7, guide §1.2 — don't compute what you only measure): the length of
+    the space-joined window plus the 10 marker characters ("[s1] " +
+    " [e1]", resp. s2/e2 — both marker pairs are 10 chars, so
+    length(s1_marked) == length(s2_marked) == this). Used by the
+    lengths-only scorer input path (scoring backends that declare
+    ``needs = "lengths"``); equality with F.length(_marked(...)) is
+    pinned in tests/test_round7_perf.py."""
+    return (
+        F.aggregate(
+            F.slice(toks, wst, wlen),
+            F.lit(0),
+            lambda acc, x: acc + F.length(x),
+        )
+        + wlen - 1 + F.lit(10)
+    ).cast("int")
+
+
 def candidates_indexed(
     df: DataFrame, cfg: PipelineConfig | None = None, doc_col: str = "doc_id",
-    text_col: str = "text",
+    text_col: str = "text", emit: str = "text",
 ) -> DataFrame:
     """Zero-shuffle, output-linear candidate generation (product path):
     bucket arg2 (Drug) mentions by sentence window, then enumerate each
@@ -449,6 +468,28 @@ def candidates_indexed(
 
     from ..config import S1_CLOSE, S1_OPEN, S2_CLOSE, S2_OPEN
 
+    if emit == "lengths":
+        # lengths-only scorer input (scoring backends with
+        # needs == "lengths"): ONE O(window) aggregate replaces TWO
+        # O(window) marked-string builds per pair, and two ints — not two
+        # strings — cross the Arrow boundary (guide §4.1). The "wl"
+        # projection barrier makes the aggregate an attribute before it
+        # is aliased twice.
+        return rows.select(
+            "doc_id",
+            F.concat(F.lit("T"), a_i).alias("ent_id_1"),
+            F.concat(F.lit("T"), b_i).alias("ent_id_2"),
+            F.col("p")["a"]["ent_type"].alias("ent_type_1"),
+            F.col("p")["b"]["ent_type"].alias("ent_type_2"),
+            _win_len(F.col("toks"), wst, wlen).alias("wl"),
+            F.abs(a_s - b_s).cast("int").alias("sent_diff"),
+            a_i.cast("int").alias("i1"),
+            b_i.cast("int").alias("i2"),
+        ).select(
+            "doc_id", "ent_id_1", "ent_id_2", "ent_type_1", "ent_type_2",
+            F.col("wl").alias("s1_len"), F.col("wl").alias("s2_len"),
+            "sent_diff", "i1", "i2",
+        )
     return rows.select(
         "doc_id",
         F.concat(F.lit("T"), a_i).alias("ent_id_1"),
@@ -563,11 +604,19 @@ def candidates_join(
 
 def candidates(
     df: DataFrame, cfg: PipelineConfig | None = None, doc_col: str = "doc_id",
-    text_col: str = "text",
+    text_col: str = "text", emit: str = "text",
 ) -> DataFrame:
     """Product path. Four formulations were built and measured (BENCH.md):
     naive in-row cross product, relational self-join + groupBy, hybrid
     join + in-row markers, and the indexed in-row form — the indexed form
     wins on every corpus shape AND is the only zero-shuffle one, so it is
-    the default. The others remain importable for regression benchmarks."""
-    return candidates_indexed(df, cfg, doc_col=doc_col, text_col=text_col)
+    the default. The others remain importable for regression benchmarks.
+
+    ``emit="lengths"`` (r7) swaps the two marked-string columns for the
+    single arithmetically-derived window length (s1_len/s2_len) — the
+    input projection for scoring backends that declare
+    ``needs = "lengths"`` (see scoring._resolve_factory); everything else
+    is unchanged."""
+    return candidates_indexed(
+        df, cfg, doc_col=doc_col, text_col=text_col, emit=emit
+    )

@@ -16,6 +16,10 @@ DuckDB oracle; engine-native hash() differs between engines.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,8 +33,13 @@ HEX = "0123456789abcdef"
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions.util import ensure_parallelism
 
+    # factor=1 (not the default 2): the dedup stack's per-doc work runs in
+    # Arrow-batched Python kernels whose per-TASK boundary overhead is
+    # ~10 ms (measured r7: identity mapInPandas over this corpus costs
+    # 0.86 s at 64 partitions vs 0.56 s at 32, pure task overhead) — one
+    # wave of core-count tasks balances fine for per-doc-uniform kernels
     return ensure_parallelism(
-        spark.read.parquet(f"{sf}/documents.parquet")
+        spark.read.parquet(f"{sf}/documents.parquet"), factor=1
     )
 
 
@@ -69,7 +78,47 @@ def minhash_cols(digests: Column, n_seeds: int = N_SEEDS) -> list[Column]:
 def shingle_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, shingles) from any documents-shaped frame — the df-based
     core shared by the corpus-wide queries here and the incremental
-    (delta-vs-index) operators in incremental.py."""
+    (delta-vs-index) operators in incremental.py.
+
+    Arrow-batched mapInPandas kernel (r7, guide §4.2): tokenize + bigram +
+    first-occurrence dedup run as a plain Python loop per batch instead of
+    interpreted Catalyst higher-order functions — measured ~100× cheaper
+    per element (the HOF subtree alone cost ~2.9 s at sf0.1 on 32 cores;
+    one Python core does the same work in 0.84 s). Output is byte-identical
+    to the HOF twin ``shingle_frame_hof`` (split keeps empty tokens like
+    Java split limit -1; dict.fromkeys preserves first-occurrence order
+    like array_distinct; docs with <2 tokens are dropped like the
+    size-guard) — equality pinned in tests/test_round7_perf.py."""
+    src = docs.select("doc_id", "text")
+    id_type = src.schema["doc_id"].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            outs: list = []
+            for did, tx in zip(pdf["doc_id"], pdf["text"]):
+                if tx is None:
+                    continue
+                toks = tx.split(" ")
+                if len(toks) < 2:
+                    continue
+                ids.append(did)
+                outs.append(list(dict.fromkeys(
+                    a + " " + b for a, b in zip(toks, toks[1:])
+                )))
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "shingles": outs})
+
+    return src.mapInPandas(
+        kernel, schema=f"doc_id {id_type}, shingles array<string>"
+    )
+
+
+def shingle_frame_hof(docs: DataFrame) -> DataFrame:
+    """The pre-r7 Catalyst-HOF formulation of ``shingle_frame`` — kept as
+    the measured counter-example and the equality twin for the kernel's
+    parity test (interpreted HOF evaluation is ~100× slower per element;
+    see shingle_frame)."""
     toks = F.split("text", " ")
     return docs.select(
         "doc_id", shingles_col(toks).alias("shingles")
@@ -112,26 +161,162 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    """(doc_id, seed, mh) — the per-doc MinHash signature."""
-    sh = _with_digests(spark, sf)
-    sig = sh.select("doc_id", F.array(*minhash_cols(F.col("digs"))).alias("sig"))
-    return sig.select(
-        "doc_id", F.posexplode("sig").alias("seed", "mh")
-    ).select("doc_id", F.col("seed").cast("int").alias("seed"), "mh")
+    """(doc_id, seed, mh) — the per-doc MinHash signature. Same Python
+    md5/min kernel discipline as ``bands_from_shingles`` (r7), emitting
+    the signature rows directly."""
+    from hashlib import md5 as _md5
+
+    sh = _with_shingles(spark, sf)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            seeds: list = []
+            mhs: list = []
+            for did, shl in zip(pdf["doc_id"], pdf["shingles"]):
+                digs = [_md5(s.encode("utf-8")).hexdigest() for s in shl]
+                for k in range(N_SEEDS):
+                    ids.append(did)
+                    seeds.append(k)
+                    mhs.append(min(d[4 * k: 4 * k + 4] for d in digs))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "seed": pd.array(seeds, dtype="int32"),
+                        "mh": mhs,
+                    }
+                )
+
+    return sh.mapInPandas(kernel, schema="doc_id long, seed int, mh string")
 
 
 def bands_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, band, bkey) LSH band index from any documents-shaped
     frame. At 100 TB this IS the persisted dedup index: a daily delta is
     deduped by joining ITS bands against this table (incremental.py)
-    instead of re-banding the historical corpus."""
-    return bands_from_shingles(shingle_frame(docs))
+    instead of re-banding the historical corpus.
+
+    FUSED text->bands kernel (r7): one mapInPandas pass does tokenize +
+    shingle + md5 minhash + band keys, so the shingle arrays never cross
+    the Arrow boundary twice (the chained shingle_frame |>
+    bands_from_shingles form pays a second Python stage, measured +0.55 s
+    at sf0.1). Byte-identical to the chained form (pytest-pinned); use
+    the chained form when the shingles are ALSO needed (the incremental
+    delta path persists them)."""
+    from hashlib import md5 as _md5
+
+    src = docs.select("doc_id", "text")
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    n_bands = N_SEEDS // BAND_ROWS
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            bands: list = []
+            keys: list = []
+            for did, tx in zip(pdf["doc_id"], pdf["text"]):
+                if tx is None:
+                    continue
+                toks = tx.split(" ")
+                if len(toks) < 2:
+                    continue
+                seen = dict.fromkeys(
+                    a + " " + b for a, b in zip(toks, toks[1:])
+                )
+                digs = [_md5(s.encode("utf-8")).hexdigest() for s in seen]
+                mins = [
+                    min(d[4 * k: 4 * k + 4] for d in digs)
+                    for k in range(N_SEEDS)
+                ]
+                for b in range(n_bands):
+                    parts = "|".join(
+                        mins[b * BAND_ROWS + r] for r in range(BAND_ROWS)
+                    )
+                    ids.append(did)
+                    bands.append(b)
+                    keys.append(_md5(parts.encode("utf-8")).hexdigest())
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "band": pd.array(bands, dtype="int32"),
+                        "bkey": keys,
+                    }
+                )
+
+    return src.mapInPandas(
+        kernel, schema=f"doc_id {id_type}, band int, bkey string"
+    )
 
 
 def bands_from_shingles(shingles: DataFrame) -> DataFrame:
     """``bands_frame`` from an already-computed (doc_id, shingles) frame
     — lets the incremental path shingle its delta ONCE and share the
-    result between banding and the Jaccard verify."""
+    result between banding and the Jaccard verify.
+
+    Arrow-batched mapInPandas kernel (r7, guide §4.2): md5-per-shingle +
+    the 8 per-seed 4-hex-slice minima + per-band key md5 run as a Python
+    batch loop instead of the interpreted digest_frame/minhash_cols HOF
+    subtree (hashlib.md5 hexdigest == Spark md5; str slicing ==
+    substring(1+4s, 4); Python str min == array_min's UTF8 binary order
+    on the hex alphabet). Byte-identical to the HOF twin
+    ``bands_from_shingles_hof`` incl. the empty-shingles edge (array_min
+    of an empty array is NULL, concat_ws skips NULLs, so every band key
+    degenerates to md5("")) — equality pinned in
+    tests/test_round7_perf.py."""
+    from hashlib import md5 as _md5
+
+    src = shingles.select("doc_id", "shingles")
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    n_bands = N_SEEDS // BAND_ROWS
+    empty_key = _md5(b"").hexdigest()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            bands: list = []
+            keys: list = []
+            for did, sh in zip(pdf["doc_id"], pdf["shingles"]):
+                if sh is None:
+                    continue
+                if len(sh) == 0:
+                    # HOF-twin edge: NULL minima -> concat_ws("")-> md5("")
+                    for b in range(n_bands):
+                        ids.append(did)
+                        bands.append(b)
+                        keys.append(empty_key)
+                    continue
+                digs = [_md5(s.encode("utf-8")).hexdigest() for s in sh]
+                mins = [
+                    min(d[4 * k: 4 * k + 4] for d in digs)
+                    for k in range(N_SEEDS)
+                ]
+                for b in range(n_bands):
+                    parts = "|".join(
+                        mins[b * BAND_ROWS + r] for r in range(BAND_ROWS)
+                    )
+                    ids.append(did)
+                    bands.append(b)
+                    keys.append(_md5(parts.encode("utf-8")).hexdigest())
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "band": pd.array(bands, dtype="int32"),
+                        "bkey": keys,
+                    }
+                )
+
+    return src.mapInPandas(
+        kernel, schema=f"doc_id {id_type}, band int, bkey string"
+    )
+
+
+def bands_from_shingles_hof(shingles: DataFrame) -> DataFrame:
+    """The pre-r7 Catalyst-HOF formulation of ``bands_from_shingles`` —
+    kept as the equality twin for the kernel's parity test (see
+    bands_from_shingles)."""
     sh = digest_frame(shingles)
     mhs = minhash_cols(F.col("digs"))
     n_bands = N_SEEDS // BAND_ROWS
@@ -309,7 +494,7 @@ def clusters_frame(docs: DataFrame) -> DataFrame:
             )
         )
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels, edge_nodes = propagate_min_labels(pairs)
     # docs untouched by any near-dup edge are their own keepers — the
@@ -340,11 +525,11 @@ def propagate_min_labels(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         .withColumnRenamed("doc_a", "src")
         .withColumnRenamed("doc_b", "dst")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     edge_nodes = (
         edges.select(F.col("src").alias("doc_id")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = edge_nodes.withColumn("cluster_id", F.col("doc_id"))
     while True:
@@ -372,7 +557,7 @@ def propagate_min_labels(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
                 (F.col("neigh_min") < F.col("cluster_id"))
                 .cast("int").alias("changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = step.filter(F.col("changed") == 1).count()
         labels = step.select("doc_id", "cluster_id")

@@ -225,11 +225,12 @@ def _loss_counts(spark: SparkSession, sf: str) -> DataFrame:
     from ..plans.pipeline import load_documents
     from .candidates import candidates
     from .evaluation import gold_label_expr
-    from .scoring import score_candidates
+    from .scoring import score_candidates, scoring_emit
 
     cfg = PipelineConfig()
     scored = score_candidates(
-        candidates(load_documents(spark, sf), cfg), cfg
+        candidates(load_documents(spark, sf), cfg, emit=scoring_emit(cfg)),
+        cfg,
     )
     with_gold = scored.withColumn(
         "gold_label",

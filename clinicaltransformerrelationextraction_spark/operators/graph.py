@@ -91,7 +91,7 @@ def _edge_nodes(edges: DataFrame) -> DataFrame:
         edges.select(F.col("src").alias("entity"))
         .unionByName(edges.select(F.col("dst").alias("entity")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -109,7 +109,7 @@ def _rank_step(nodes: DataFrame, contrib: DataFrame) -> DataFrame:
                 + F.expr("(85 * coalesce(s, 0L)) div 100")
             ).cast("long").alias("rank"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -118,7 +118,7 @@ def integer_pagerank(edges: DataFrame) -> DataFrame:
     edge list ``(src, dst)`` — see :func:`q_graph_pagerank` for the
     formula and cross-engine discipline. Shared by the entity-graph and
     user-co-action-graph queries."""
-    edges = edges.localCheckpoint()
+    edges = edges.localCheckpoint(eager=False)
     nodes = _edge_nodes(edges)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     ranks = nodes.withColumn("rank", F.lit(PR_UNIT).cast("long"))
@@ -193,9 +193,9 @@ def integer_pagerank_adj(
     edge-join form in tests/test_nonvacuous.py)."""
     if hub_split < 1:  # fail on the driver BEFORE any eager Spark work
         raise ValueError(f"hub_split must be >= 1, got {hub_split}")
-    edges = edges.localCheckpoint()
+    edges = edges.localCheckpoint(eager=False)
     nodes = _edge_nodes(edges)
-    adj = chunked_adjacency(edges, hub_split).localCheckpoint()
+    adj = chunked_adjacency(edges, hub_split).localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(PR_UNIT).cast("long"))
     for _ in range(PR_ITERS):
         contrib = (
@@ -231,13 +231,13 @@ def q_graph_two_hop(spark: SparkSession, sf: str) -> DataFrame:
     # exactly once, the edge table once
     t = _linked(spark, sf).select(
         "subj_canonical", "pred", "obj_canonical"
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     rev = t.select(
         F.col("obj_canonical").alias("subj_canonical"),
         F.concat(F.col("pred"), F.lit("_inv")).alias("pred"),
         F.col("subj_canonical").alias("obj_canonical"),
     )
-    e = t.unionByName(rev).distinct().localCheckpoint()
+    e = t.unionByName(rev).distinct().localCheckpoint(eager=False)
     a = e.alias("a")
     b = e.alias("b")
     return (
@@ -278,7 +278,7 @@ def _symmetrize(und: DataFrame) -> DataFrame:
     (potentially pipeline-heavy) edge derivation per branch. Output is
     distinct iff the input satisfies a < b (the convention of every
     caller's edge builder)."""
-    und = und.localCheckpoint()
+    und = und.localCheckpoint(eager=False)
     return und.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(
@@ -297,9 +297,9 @@ def min_label_components(und: DataFrame) -> DataFrame:
     same join primitive runs as large-star/small-star contraction
     (O(log n) rounds). The DuckDB oracle computes the identical fixpoint
     as a recursive transitive closure + min."""
-    edges = _symmetrize(und).localCheckpoint()
+    edges = _symmetrize(und).localCheckpoint(eager=False)
     nodes = (
-        edges.select(F.col("src").alias("entity")).distinct().localCheckpoint()
+        edges.select(F.col("src").alias("entity")).distinct().localCheckpoint(eager=False)
     )
     labels = nodes.withColumn("component", F.col("entity"))
     while True:
@@ -327,7 +327,7 @@ def min_label_components(und: DataFrame) -> DataFrame:
                 (F.col("neigh_min") < F.col("component"))
                 .cast("int").alias("changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = step.filter(F.col("changed") == 1).count()
         labels = step.select("entity", "component")
@@ -376,9 +376,9 @@ def star_components(und: DataFrame) -> DataFrame:
     the empirically observed behavior is ~log n), so the cap follows the
     proven shape with margin — and exceeding it raises instead of
     hanging the suite/driver."""
-    edges = _symmetrize(und).distinct().localCheckpoint()
+    edges = _symmetrize(und).distinct().localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("entity")).distinct() \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
 
     def _fingerprint(df: DataFrame):
         # decimal(38,0) accumulator: a bigint sum of 64-bit hashes
@@ -404,7 +404,7 @@ def star_components(und: DataFrame) -> DataFrame:
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # small-star over the large-star output: (v, min(N<(u))) for
         # v in N<(u) ∪ {u}
@@ -419,11 +419,11 @@ def star_components(und: DataFrame) -> DataFrame:
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("src"), F.col("m").alias("dst"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         sym = ss.unionByName(
             ss.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct().localCheckpoint()
+        ).distinct().localCheckpoint(eager=False)
         fp = _fingerprint(sym)
         if fp == prev_fp:
             star = ss
@@ -494,7 +494,7 @@ def _user_edges(spark: SparkSession, sf: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k"),
         F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
         "user_id",
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     return (
         grp.alias("x")
         .join(grp.alias("y"), ["k", "day"])
@@ -522,7 +522,7 @@ def user_star_edges_from_events(ev: DataFrame) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k"),
         F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
         "user_id",
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     rep = grp.groupBy("k", "day").agg(F.min("user_id").alias("a"))
     return (
         grp.join(rep, ["k", "day"])
@@ -565,7 +565,7 @@ def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     # checkpoint linked (feeds und once + subj twice via the co-occurrence
     # self-join) and the final edge table e (referenced three times by the
     # wedge joins): the pipeline subtree runs exactly once
-    linked = _linked(spark, sf).localCheckpoint()
+    linked = _linked(spark, sf).localCheckpoint(eager=False)
     und = (
         linked.select(
             F.least("subj_canonical", "obj_canonical").alias("a"),
@@ -575,14 +575,14 @@ def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     )
     subj = linked.select(
         "doc_id", F.col("subj_canonical").alias("s")
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     co = (
         subj.alias("x")
         .join(subj.alias("y"), "doc_id")
         .filter(F.col("x.s") < F.col("y.s"))
         .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
     )
-    e = und.unionByName(co).distinct().localCheckpoint()
+    e = und.unionByName(co).distinct().localCheckpoint(eager=False)
     ab = e.select(F.col("a"), F.col("b"))
     bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     ac = e.select(F.col("a"), F.col("b").alias("c"))
@@ -614,7 +614,7 @@ def q_graph_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     bound that with a degree cap on the middle (drop/sample
     super-hubs before the self-join), the standard wedge-sampling
     trade-off; here the census is exact."""
-    sym = _symmetrize(_undirected(spark, sf)).localCheckpoint()
+    sym = _symmetrize(_undirected(spark, sf)).localCheckpoint(eager=False)
     deg = sym.groupBy(F.col("src").alias("v")).agg(
         F.count("*").alias("deg")
     )

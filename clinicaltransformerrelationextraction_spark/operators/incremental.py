@@ -105,7 +105,7 @@ def incremental_candidate_pairs(
     the lower doc_id. No bucket-group pass over the historical index —
     the corpus never re-bands."""
     return _pairs_from_new_bands(
-        old_index, bands_frame(new_docs).localCheckpoint()
+        old_index, bands_frame(new_docs).localCheckpoint(eager=False)
     )
 
 
@@ -397,12 +397,12 @@ def incremental_dedup(
     feeds banding, the verify, and the returned shingle delta."""
     new_sh = shingle_frame(
         new_docs.select("doc_id", "text")
-    ).localCheckpoint()
-    new_b = bands_from_shingles(new_sh).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    new_b = bands_from_shingles(new_sh).localCheckpoint(eager=False)
     cand = _pairs_from_new_bands(old_index, new_b)
     verified = incremental_verified_pairs(
         cand, old_docs, new_docs, old_shingles, new_shingles=new_sh
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = merge_clusters(old_labels, verified, new_docs)
     return verified, labels, new_b, new_sh
 
@@ -439,9 +439,9 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     new_docs = docs.filter(is_delta)
     old_docs = docs.filter(~is_delta)
     old_index = bands_frame(old_docs)
-    new_sh = shingle_frame(new_docs).localCheckpoint()
+    new_sh = shingle_frame(new_docs).localCheckpoint(eager=False)
     cand = _pairs_from_new_bands(
-        old_index, bands_from_shingles(new_sh).localCheckpoint()
+        old_index, bands_from_shingles(new_sh).localCheckpoint(eager=False)
     )
     verified = incremental_verified_pairs(
         cand, old_docs, new_docs, new_shingles=new_sh
@@ -480,7 +480,7 @@ def merge_components(old_labels: DataFrame, delta_und: DataFrame) -> DataFrame:
     edge set into old ∪ delta,
     ``merge_components(min_label_components(old), delta)`` ==
     ``min_label_components(old ∪ delta)`` exactly."""
-    delta_und = delta_und.localCheckpoint()  # drives four joins below
+    delta_und = delta_und.localCheckpoint(eager=False)  # drives four joins below
     rep = old_labels.select("entity", F.col("component").alias("rep"))
     contracted = (
         delta_und.join(

@@ -290,6 +290,11 @@ class NptModel:
                ) -> np.ndarray:
         """output2logits (models.py:72-94): pooled/marker reps per scheme,
         concatenated, through the linear head."""
+        if ids.shape[0] == 0:
+            # honor the empty-input contract encode_batch advertises
+            # ((0, 0) arrays): forward/gather would raise on a zero-size
+            # reduction, so short-circuit to an empty logit matrix
+            return np.zeros((0, self.wc.shape[1]), dtype=np.float64)
         seq_output, pooled = self.forward(ids, mask, segs)
         parts = [] if self.scheme == 3 else [pooled]
         for tag in _SCHEME_TAGS[self.scheme]:

@@ -114,28 +114,39 @@ def _make_stub_scorer(cfg: PipelineConfig, labels: list[str]) -> Callable[[pd.Da
     uni = cfg.data_format_mode == 1
 
     def scorer(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        # lengths-only input (needs = "lengths", r7): the pipeline ships
+        # the two precomputed window lengths instead of the marked
+        # strings — the stub's logits are a pure function of them
+        if "s1_len" in pdf.columns:
+            l1 = pdf["s1_len"].to_numpy(np.int64)
+            l2 = pdf["s2_len"].to_numpy(np.int64)
+        else:
+            l1 = pdf["s1_marked"].str.len().to_numpy(np.int64)
+            l2 = pdf["s2_marked"].str.len().to_numpy(np.int64)
+        w = STUB_W3 * (
+            pdf["i1"].to_numpy(np.int64) + pdf["i2"].to_numpy(np.int64)
+        )
         if uni:
             # uni mode scores ONE sequence "s1 s2" (src/task.py:41-49):
             # idx over the concatenated length (the +1 is the join space)
-            idx = (
-                pdf["s1_marked"].str.len().to_numpy(np.int64)
-                + pdf["s2_marked"].str.len().to_numpy(np.int64) + 1
-                + STUB_W3 * (
-                    pdf["i1"].to_numpy(np.int64)
-                    + pdf["i2"].to_numpy(np.int64)
-                )
-            ) % n
+            idx = (l1 + l2 + 1 + w) % n
         else:
-            logits = stub_logits(pdf["s1_marked"], pdf["s2_marked"],
-                                 pdf["i1"], pdf["i2"], n)
-            # softmax for the score column; stub logits are one-hot so the
-            # predicted-class probability is a constant — we instead emit
-            # the oracle-checkable deterministic score (idx+1)/n.
-            idx = logits.argmax(axis=1)
+            # == stub_logits(...).argmax(axis=1): the logit matrix is
+            # one-hot at this index (kept for the oracle note: the
+            # deterministic score is (idx+1)/n)
+            idx = (l1 + STUB_W2 * l2 + w) % n
         score = (idx + 1) / float(n)
         return idx, score
 
     return scorer
+
+
+# the stub consumes only (len(s1_marked), len(s2_marked), i1, i2): declare
+# it so the pipeline ships two ints per row across the Arrow boundary
+# instead of two marked strings (guide §4.1 — pass only the columns the
+# function needs), and derives the lengths arithmetically without ever
+# building the strings (candidates emit="lengths")
+_make_stub_scorer.needs = "lengths"
 
 
 FEAT_DIM = 512
@@ -351,6 +362,42 @@ def _resolve_factory(cfg: PipelineConfig) -> Callable:
     return factory
 
 
+SCORER_INPUT_COLS = ("s1_marked", "s2_marked", "s1_len", "s2_len")
+
+
+def scoring_emit(cfg: PipelineConfig) -> str:
+    """The candidate-frame ``emit`` mode the configured backend wants:
+    "lengths" for backends declaring ``needs = "lengths"`` (the stub),
+    "text" otherwise — callers building candidates expressly for scoring
+    (q_predictions, the fused pipeline) use this so the marked strings are
+    never even constructed for a lengths-only backend."""
+    return (
+        "lengths"
+        if getattr(_resolve_factory(cfg), "needs", "text") == "lengths"
+        else "text"
+    )
+
+
+def _scorer_input(cand: DataFrame, factory: Callable) -> DataFrame:
+    """Project the candidate frame down to the backend's declared input
+    (guide §4.1: pass only the columns the function needs across the
+    Python boundary). Text backends get the frame unchanged; lengths-only
+    backends get (s1_len, s2_len) ints — reused as-is when the frame was
+    built with candidates(emit="lengths"), else derived via F.length so
+    only two ints per row cross the Arrow boundary instead of two marked
+    strings."""
+    if getattr(factory, "needs", "text") != "lengths":
+        return cand
+    if "s1_len" in cand.columns:
+        return cand
+    keep = [c for c in cand.columns if c not in ("s1_marked", "s2_marked")]
+    return cand.select(
+        *keep,
+        F.length("s1_marked").alias("s1_len"),
+        F.length("s2_marked").alias("s2_len"),
+    )
+
+
 def score_candidates(cand: DataFrame, cfg: PipelineConfig | None = None,
                      keep_text: bool = False) -> DataFrame:
     """candidates -> candidates + (pred_label, label_idx, score).
@@ -361,13 +408,23 @@ def score_candidates(cand: DataFrame, cfg: PipelineConfig | None = None,
 
     The marked sentence strings are the scorer's INPUT only; by default they
     are dropped from the output (they dominate the Arrow return traffic and
-    nothing downstream reads them — pass ``keep_text=True`` to retain)."""
+    nothing downstream reads them — pass ``keep_text=True`` to retain).
+    Backends declaring ``needs = "lengths"`` receive precomputed window
+    lengths instead of the strings (see _scorer_input) unless
+    ``keep_text`` forces the text through."""
     cfg = cfg or PipelineConfig()
     labels = list(cfg.labels)
     label_arr = np.asarray(labels, dtype=object)
-    text_cols = [] if keep_text else ["s1_marked", "s2_marked"]
+    factory = _resolve_factory(cfg)
+    if not keep_text:
+        cand = _scorer_input(cand, factory)
+    drop_cols = (
+        []
+        if keep_text
+        else [c for c in SCORER_INPUT_COLS if c in cand.columns]
+    )
     out_fields = [
-        f for f in cand.schema.fields if f.name not in text_cols
+        f for f in cand.schema.fields if f.name not in drop_cols
     ] + [
         T.StructField("label_idx", T.IntegerType()),
         T.StructField("pred_label", T.StringType()),
@@ -375,15 +432,13 @@ def score_candidates(cand: DataFrame, cfg: PipelineConfig | None = None,
     ]
     out_schema = T.StructType(out_fields)
 
-    factory = _resolve_factory(cfg)
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         scorer = factory(cfg, labels)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             idx, score = scorer(pdf)
-            out = pdf.drop(columns=text_cols) if text_cols else pdf.copy()
+            out = pdf.drop(columns=drop_cols) if drop_cols else pdf.copy()
             out["label_idx"] = idx.astype("int32")
             out["pred_label"] = label_arr[idx]
             out["score"] = score
@@ -408,6 +463,9 @@ def score_filter_number(cand: DataFrame, cfg: PipelineConfig | None = None) -> D
     labels = list(cfg.labels)
     label_arr = np.asarray(labels, dtype=object)
     non_rel = cfg.non_rel
+    factory = _resolve_factory(cfg)
+    cand = _scorer_input(cand, factory)
+    drop_cols = [c for c in SCORER_INPUT_COLS if c in cand.columns]
 
     out_schema = T.StructType(
         [
@@ -448,8 +506,6 @@ def score_filter_number(cand: DataFrame, cfg: PipelineConfig | None = None) -> D
             }
         )
 
-    factory = _resolve_factory(cfg)
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         scorer = factory(cfg, labels)
         carry: pd.DataFrame | None = None  # rows of the batch-boundary doc
@@ -457,7 +513,7 @@ def score_filter_number(cand: DataFrame, cfg: PipelineConfig | None = None) -> D
             if len(pdf) == 0:
                 continue
             idx, score = scorer(pdf)
-            pdf = pdf.drop(columns=["s1_marked", "s2_marked"])
+            pdf = pdf.drop(columns=drop_cols)
             pdf["pred_label"] = label_arr[idx]
             pdf["score"] = score
             if carry is not None:

@@ -55,6 +55,22 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def norm_col(a: Column) -> Column:
+    """sqrt(dot(a, a)) as a double — the per-VECTOR factor of ``cosine``.
+    Precomputing it once per vector (r7, guide §1.2 'don't compute things
+    you throw away') turns the 3 interpreted HOF dot products per PAIR
+    into 1: cosine(a, b) == dot(a,b)/ (norm(a) * norm(b)) with the exact
+    same IEEE operation order (integer dot -> cast double -> sqrt ->
+    multiply -> divide), so the factored form is bit-identical to
+    ``cosine`` — pinned in tests/test_round7_perf.py."""
+    return F.sqrt(_dot(a, a).cast("double"))
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with both vectors' norms precomputed (see norm_col)."""
+    return _dot(a, b).cast("double") / (na * nb)
+
+
 def _q(spark: SparkSession, sf: str) -> DataFrame:
     return _emb(spark, sf).select(
         "vec_id", quantized(F.col("embedding")).alias("qe")
@@ -67,16 +83,23 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     desc with vec_id tiebreak."""
     from pyspark.sql import Window
 
+    # norms once per VECTOR, not per pair (r7): the brute scan then runs
+    # ONE interpreted dot per (query, corpus) pair instead of three —
+    # bit-identical cosine (see norm_col), measured ~2× on this query
     q = _q(spark, sf).filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("qe").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("qe").alias("qv"),
+        norm_col(F.col("qe")).alias("qn"),
     )
     c = _q(spark, sf).filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("qe").alias("cv")
+        F.col("vec_id").alias("neighbor_id"), F.col("qe").alias("cv"),
+        norm_col(F.col("qe")).alias("cn"),
     )
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        cosine_with_norms(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ).alias("cos"),
     )
     # Parallelism note (verified in the physical plan, test_plan_shapes):
     # rank<=k over a window is planned with a PARTIAL WindowGroupLimit
@@ -193,13 +216,19 @@ def q_embed_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    va = q.select(F.col("vec_id").alias("vec_a"), F.col("qe").alias("qa"))
-    vb = q.select(F.col("vec_id").alias("vec_b"), F.col("qe").alias("qb"))
+    # norms once per vector (r7, see norm_col): one dot per verified pair
+    va = q.select(F.col("vec_id").alias("vec_a"), F.col("qe").alias("qa"),
+                  norm_col(F.col("qe")).alias("na"))
+    vb = q.select(F.col("vec_id").alias("vec_b"), F.col("qe").alias("qb"),
+                  norm_col(F.col("qe")).alias("nb"))
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .select(
-            "vec_a", "vec_b", cosine(F.col("qa"), F.col("qb")).alias("cos")
+            "vec_a", "vec_b",
+            cosine_with_norms(
+                F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
         )
         .filter(F.col("cos") > NEARDUP_COS)
     )
@@ -239,33 +268,63 @@ def q_ann_ivf_topk(
     partition column at 100 TB, so a query scans nprobe partitions
     instead of the corpus. Recall vs the brute top-k is floor-asserted in
     tests at the default and measured across the dial (IVF's standard
-    trade-off)."""
+    trade-off).
+
+    r7 physical-plan changes, same output (oracle-pinned):
+    - vector/centroid norms are computed once per VECTOR (norm_col) so
+      every assignment + scoring cosine is ONE interpreted dot, not 3;
+    - the CORPUS cell assignment is a scalar-only map-side argmax
+      aggregate (max of (ccos, -label) structs == the row_number
+      (cos DESC, label ASC) pick), so the corpus qe arrays no longer ride
+      an n_cells-times-amplified window exchange — at 10^12 vectors that
+      window would shuffle the corpus n_cells times; the nprobe top-n
+      window survives only on the QUERY side, where it is queries-sized."""
     from pyspark.sql import Window
 
     nprobe = (cfg or PipelineConfig()).ann_nprobe
-    q = _q(spark, sf)
-    cents = _centroids(spark, sf)
-    # nearest-centroid assignment by cosine (this query's metric;
-    # deterministic tiebreak on label)
-    assigned = _ivf_assign(
-        q, cents, cosine(F.col("qe"), F.col("centroid")), descending=True
-    ).withColumnRenamed("cdist", "ccos")
+    q = _q(spark, sf).withColumn("qn", norm_col(F.col("qe")))
+    cents = _centroids(spark, sf).withColumn(
+        "cn", norm_col(F.col("centroid"))
+    )
+    ccos = cosine_with_norms(
+        F.col("qe"), F.col("centroid"), F.col("qn"), F.col("cn")
+    )
     qs = (
-        assigned.filter(
-            (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= nprobe)
+        q.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "qe", "qn", "label", ccos.alias("ccos"))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("ccos"), F.asc("label")
+                )
+            ),
         )
+        .filter(F.col("crank") <= nprobe)
         .select(
             F.col("vec_id").alias("query_id"), F.col("qe").alias("qv"),
-            F.col("label").alias("cell"),
+            F.col("qn").alias("qvn"), F.col("label").alias("cell"),
         )
     )
+    # the cell rides out of the aggregate WITH the vector (first() of a
+    # per-vec-constant column): one qe per vector crosses the shuffle,
+    # no second corpus-sized join to reunite vector and cell
     corpus = (
-        assigned.filter(
-            (F.col("vec_id") >= N_QUERIES) & (F.col("crank") == 1)
+        q.filter(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "qe", "qn", "label", ccos.alias("ccos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("ccos"), (-F.col("label")).alias("nl"))
+            ).alias("m"),
+            F.first("qe").alias("cv"),
+            F.first("qn").alias("cvn"),
         )
         .select(
-            F.col("vec_id").alias("neighbor_id"), F.col("qe").alias("cv"),
-            F.col("label").alias("cell"),
+            F.col("vec_id").alias("neighbor_id"), "cv", "cvn",
+            (-F.col("m.nl")).alias("cell"),
         )
     )
     scored = (
@@ -273,7 +332,9 @@ def q_ann_ivf_topk(
         .join(corpus, "cell")
         .select(
             "query_id", "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qvn"), F.col("cvn")
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -350,9 +411,15 @@ def q_label_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
     dims = q.select(
         "vec_id", "label", F.posexplode("qe").alias("dim", "v")
     )
-    cent = int_mean_centroid(dims, "label")
+    cent = int_mean_centroid(dims, "label").withColumn(
+        "cn", norm_col(F.col("centroid"))
+    )
     joined = q.join(F.broadcast(cent), "label").select(
-        "label", cosine(F.col("qe"), F.col("centroid")).alias("cos")
+        "label",
+        cosine_with_norms(
+            F.col("qe"), F.col("centroid"),
+            norm_col(F.col("qe")), F.col("cn"),
+        ).alias("cos"),
     )
     # average via integer micro-cosines: exact bigint sum (order-free), one
     # double division — engine-identical (double avg would be order-dependent)
@@ -404,11 +471,11 @@ def q_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
     Output: final centroids (exploded to scalar (cid, n_members, dim, cv)
     rows — the driver-canonicalizer contract forbids array columns) with
     member counts of the assignment that produced them."""
-    vecs = _q(spark, sf).localCheckpoint()
+    vecs = _q(spark, sf).localCheckpoint(eager=False)
     cent = (
         _centroids(spark, sf)
         .select(F.col("label").alias("cid"), "centroid")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     asg = None
     for _ in range(KM_ITERS):
@@ -435,10 +502,10 @@ def q_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
         asg = (
             vecs.join(arg, "vec_id")
             .select("vec_id", "qe", "cid")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         dims = asg.select("cid", F.posexplode("qe").alias("dim", "v"))
-        cent = int_mean_centroid(dims, "cid").localCheckpoint()
+        cent = int_mean_centroid(dims, "cid").localCheckpoint(eager=False)
     counts = asg.groupBy("cid").agg(F.count("*").alias("n_members"))
     # Scalar-only output contract: the external driver canonicalizes
     # results through pandas and cannot hash list cells, so the centroid
@@ -592,7 +659,7 @@ def q_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     (N_QUERIES rows) broadcast onto the result. Distance tables
     (n_queries × PQ_M × n_codes rows) are the broadcast side of the
     scan; both top-k windows keep their partial WindowGroupLimit."""
-    cb = _pq_codebook(spark, sf).localCheckpoint()
+    cb = _pq_codebook(spark, sf).localCheckpoint(eager=False)
     q = _q(spark, sf)
     subs = _pq_subvecs(q)
     corpus_codes = _pq_encode(
@@ -690,7 +757,7 @@ def ann_ivf_pq_topk(
     qcells = assigned.filter(
         (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= nprobe)
     ).select(F.col("vec_id").alias("query_id"), F.col("label").alias("cell"))
-    cb = _pq_codebook(spark, sf).localCheckpoint()
+    cb = _pq_codebook(spark, sf).localCheckpoint(eager=False)
     # cell rides THROUGH the encode (extra key) — the persisted-index
     # shape stores (cell, codes) together, so the cell-pruned scan never
     # joins two corpus-sized frames to reunite them (no sort-merge join

@@ -184,7 +184,7 @@ class IngestState:
         )
         hash_index = incremental_exact(old_hash, new_docs)
         # one hash pass over the delta feeds BOTH sketches
-        delta_h = lang_shingle_hashes(new_docs).localCheckpoint()
+        delta_h = lang_shingle_hashes(new_docs).localCheckpoint(eager=False)
         kmv = kmv_merge(old_kmv, kmv_sketch(None, hashes=delta_h))
         hll = hll_merge(old_hll, hll_registers(None, hashes=delta_h))
         # knowledge-graph + crawl-snapshot state (the kg_construct leg):
@@ -192,7 +192,7 @@ class IngestState:
         # contribution; contract-merge it into the persisted component
         # labels and fold the delta's crawl log into the latest-per-url
         # snapshot — the corpus never re-extracts
-        delta_edges = undirected_edges(run_linked(new_docs)).localCheckpoint()
+        delta_edges = undirected_edges(run_linked(new_docs)).localCheckpoint(eager=False)
         if old_graph is None:  # bootstrap: schema from the real constructor
             old_graph = min_label_components(delta_edges.limit(0))
         graph = merge_components(old_graph, delta_edges)
@@ -265,7 +265,7 @@ class IngestState:
                 None,
             )
         docs_log = self.read_append(spark, "docs", m)
-        old_edges = undirected_edges(run_linked(docs_log)).localCheckpoint()
+        old_edges = undirected_edges(run_linked(docs_log)).localCheckpoint(eager=False)
         return (
             min_label_components(old_edges),
             latest_partial(pages_with_crawl_ts(docs_log)),

@@ -74,7 +74,7 @@ def run_pipeline(
     repartitions by doc hash (keeps docs whole, so fused numbering stays
     correct) and forces the non-fused path OFF only if you repartition by a
     non-doc key yourself."""
-    from ..operators.scoring import score_filter_number
+    from ..operators.scoring import score_filter_number, scoring_emit
 
     cfg = cfg or PipelineConfig()
     cand = candidates(docs, cfg, doc_col=doc_col)
@@ -89,7 +89,17 @@ def run_pipeline(
         )
     scored = score_candidates(cand, cfg)
     if fused and not salt:
-        trip = score_filter_number(cand, cfg)
+        # lengths-only backends (the stub) get the emit="lengths"
+        # candidate frame: the marked strings are never built for the
+        # fused path and two ints per row cross the Arrow boundary
+        # (r7; res.candidates keeps the full text contract, lazily)
+        emit = scoring_emit(cfg)
+        cand_score = (
+            candidates(docs, cfg, doc_col=doc_col, emit=emit)
+            if emit != "text"
+            else cand
+        )
+        trip = score_filter_number(cand_score, cfg)
     else:
         # salted input interleaves docs within a partition (hash order), so
         # use the windowed form, which is order-independent

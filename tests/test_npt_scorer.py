@@ -255,3 +255,20 @@ def test_scorer_empty_batch():
     scorer = make_npt_scorer(PipelineConfig(scorer="npt"), ["a", "b"])
     idx, score = scorer(pdf)
     assert idx.shape == (0,) and score.shape == (0,)
+
+
+def test_model_logits_empty_batch():
+    """The BATCHED model API honors the empty-input contract too (r7,
+    advice item): NptModel.logits on (0, 0) encode output returns a
+    (0, n_labels) logit matrix instead of raising on a zero-size
+    reduction inside forward/gather."""
+    import numpy as np
+
+    from clinicaltransformerrelationextraction_spark.operators.minibert import (
+        NptModel,
+    )
+
+    model = NptModel(n_labels=3, scheme=2)
+    ids = np.zeros((0, 0), dtype=np.int64)
+    out = model.logits(ids, ids.astype(np.float64), ids)
+    assert out.shape == (0, 3)

@@ -1,0 +1,200 @@
+"""Round-7 optimization pins: every r7 physical-plan/kernel change must be
+byte-identical to the formulation it replaced.
+
+- dedup shingle/band Python kernels == the Catalyst-HOF twins (incl. the
+  short-doc, unicode, consecutive-space, NULL-text and empty-shingles
+  edges);
+- candidates emit="lengths" window lengths == F.length of the marked
+  strings the text mode builds;
+- cosine_with_norms == cosine (bit-identical doubles);
+- the stub scorer's lengths input path == its text input path;
+- q_ann_ivf_topk's aggregate-based corpus cell assignment == the
+  window-based one (same argmax + tiebreak).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from clinicaltransformerrelationextraction_spark.config import PipelineConfig
+from clinicaltransformerrelationextraction_spark.operators import dedup
+from clinicaltransformerrelationextraction_spark.operators.candidates import (
+    candidates,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _same(a, b, msg=""):
+    d1 = a.exceptAll(b).count()
+    d2 = b.exceptAll(a).count()
+    assert (d1, d2) == (0, 0), f"{msg}: exceptAll diffs {d1}/{d2}"
+
+
+EDGE_DOCS = [
+    (1, "héllo wörld héllo wörld x"),  # unicode + repeats
+    (2, "one"),                        # single token -> dropped
+    (3, ""),                           # empty text -> dropped
+    (4, "a  b   c"),                   # consecutive spaces -> empty tokens
+    (5, None),                         # NULL text -> dropped
+    (6, "a b"),                        # minimal two-token doc
+    (7, "x " * 50 + "x"),              # heavy repetition -> 1 distinct
+]
+
+
+@pytest.fixture(scope="module")
+def edge_docs(spark):
+    return spark.createDataFrame(EDGE_DOCS, "doc_id long, text string")
+
+
+def test_shingle_kernel_matches_hof(spark, edge_docs):
+    docs = dedup._docs(spark, SF_SMOKE)
+    _same(
+        dedup.shingle_frame(docs), dedup.shingle_frame_hof(docs),
+        "corpus shingles",
+    )
+    _same(
+        dedup.shingle_frame(edge_docs), dedup.shingle_frame_hof(edge_docs),
+        "edge shingles",
+    )
+
+
+def test_bands_kernels_match_hof(spark, edge_docs):
+    docs = dedup._docs(spark, SF_SMOKE)
+    hof = dedup.bands_from_shingles_hof(dedup.shingle_frame_hof(docs))
+    _same(dedup.bands_frame(docs), hof, "fused bands")
+    _same(
+        dedup.bands_from_shingles(dedup.shingle_frame(docs)), hof,
+        "chained bands",
+    )
+    _same(
+        dedup.bands_frame(edge_docs),
+        dedup.bands_from_shingles_hof(dedup.shingle_frame_hof(edge_docs)),
+        "edge bands",
+    )
+
+
+def test_bands_empty_shingles_edge(spark):
+    # array_min of an empty array is NULL; concat_ws skips NULLs; so the
+    # HOF twin emits md5("") band keys — the kernel must reproduce that
+    esh = spark.createDataFrame([(9, [])], "doc_id long, shingles array<string>")
+    _same(
+        dedup.bands_from_shingles(esh),
+        dedup.bands_from_shingles_hof(esh),
+        "empty-shingles bands",
+    )
+    assert dedup.bands_from_shingles(esh).count() == dedup.N_SEEDS // dedup.BAND_ROWS
+
+
+def test_candidate_lengths_match_marked_strings(spark):
+    from clinicaltransformerrelationextraction_spark.plans.pipeline import (
+        load_documents,
+    )
+
+    cfg = PipelineConfig()
+    docs = load_documents(spark, SF_SMOKE)
+    text = candidates(docs, cfg).select(
+        "doc_id", "i1", "i2",
+        F.length("s1_marked").alias("s1_len"),
+        F.length("s2_marked").alias("s2_len"),
+    )
+    lens = candidates(docs, cfg, emit="lengths").select(
+        "doc_id", "i1", "i2", "s1_len", "s2_len"
+    )
+    _same(lens, text, "window lengths")
+
+
+def test_cosine_with_norms_bit_identical(spark):
+    from clinicaltransformerrelationextraction_spark.operators import (
+        similarity as sim,
+    )
+
+    q = sim._q(spark, SF_SMOKE)
+    a = q.select("vec_id", F.col("qe").alias("qa"))
+    b = q.select(
+        (F.col("vec_id") + 1).alias("vec_id"), F.col("qe").alias("qb")
+    )
+    j = a.join(b, "vec_id")
+    plain = j.select(
+        "vec_id", sim.cosine(F.col("qa"), F.col("qb")).alias("cos")
+    )
+    factored = j.select(
+        "vec_id",
+        sim.cosine_with_norms(
+            F.col("qa"), F.col("qb"),
+            sim.norm_col(F.col("qa")), sim.norm_col(F.col("qb")),
+        ).alias("cos"),
+    )
+    # exceptAll compares the raw doubles — bit-identity, not tolerance
+    _same(plain, factored, "cosine factoring")
+
+
+def test_stub_lengths_path_matches_text_path():
+    import numpy as np
+    import pandas as pd
+
+    from clinicaltransformerrelationextraction_spark.operators.scoring import (
+        _make_stub_scorer,
+    )
+
+    cfg = PipelineConfig()
+    labels = list(cfg.labels)
+    pdf_text = pd.DataFrame(
+        {
+            "s1_marked": ["[s1] a [e1] b", "x " * 30, "é ü"],
+            "s2_marked": ["c [s2] d [e2]", "y", "zz"],
+            "i1": [1, 5, 2],
+            "i2": [3, 7, 4],
+        }
+    )
+    pdf_len = pd.DataFrame(
+        {
+            "s1_len": pdf_text["s1_marked"].str.len(),
+            "s2_len": pdf_text["s2_marked"].str.len(),
+            "i1": pdf_text["i1"],
+            "i2": pdf_text["i2"],
+        }
+    )
+    for mode in (0, 1):
+        c = PipelineConfig(data_format_mode=mode)
+        s = _make_stub_scorer(c, labels)
+        it, st = s(pdf_text)
+        il, sl = s(pdf_len)
+        assert np.array_equal(it, il) and np.array_equal(st, sl)
+    assert _make_stub_scorer.needs == "lengths"
+
+
+def test_ivf_corpus_cells_match_window_form(spark):
+    """The r7 aggregate-based corpus cell pick (max of (ccos, -label))
+    must equal the old window's crank==1 row for every corpus vector."""
+    from pyspark.sql import Window
+
+    from clinicaltransformerrelationextraction_spark.operators import (
+        similarity as sim,
+    )
+
+    q = sim._q(spark, SF_SMOKE)
+    cents = sim._centroids(spark, SF_SMOKE)
+    assigned = sim._ivf_assign(
+        q, cents,
+        sim.cosine(F.col("qe"), F.col("centroid")), descending=True,
+    )
+    window_cells = assigned.filter(F.col("crank") == 1).select(
+        "vec_id", F.col("label").alias("cell")
+    )
+    agg_cells = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "label",
+            sim.cosine(F.col("qe"), F.col("centroid")).alias("ccos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("ccos"), (-F.col("label")).alias("nl"))
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.nl")).cast("int").alias("cell"))
+    )
+    _same(agg_cells, window_cells, "ivf corpus cells")
