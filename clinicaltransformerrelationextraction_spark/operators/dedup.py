@@ -415,10 +415,11 @@ def pair_shingle_stats(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 def _pair_shingle_sizes(spark: SparkSession, sf: str) -> DataFrame:
     """The corpus-wide instantiation of ``pair_shingle_stats`` over the
     MinHash-LSH candidate pairs (their oracles share the analogous CTE
-    body)."""
+    body). The shingle table is lazily checkpointed — it is referenced
+    twice (both pair sides), so the kernel runs once (r7)."""
     return pair_shingle_stats(
         q_dedup_minhash_pairs(spark, sf).select("doc_a", "doc_b"),
-        _with_shingles(spark, sf),
+        _with_shingles(spark, sf).localCheckpoint(eager=False),
     )
 
 
@@ -490,7 +491,11 @@ def clusters_frame(docs: DataFrame) -> DataFrame:
         jaccard_verify(
             pair_shingle_stats(
                 candidate_pairs_frame(docs).select("doc_a", "doc_b"),
-                shingle_frame(docs),
+                # lazily checkpointed: the verify references the shingle
+                # table TWICE (doc_a and doc_b sides) — one kernel pass,
+                # cached reuse (r7; the bands side is the fused kernel
+                # and does not need this frame at all)
+                shingle_frame(docs).localCheckpoint(eager=False),
             )
         )
         .select("doc_a", "doc_b")
@@ -598,7 +603,53 @@ def simhash_col(toks: Column) -> Column:
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc 16-bit SimHash. r7 plan change, same output: the original
+    ``simhash_col`` evaluates md5(token) SIXTEEN times per distinct token
+    (one filter lambda per bit — Catalyst does not CSE across HOF
+    lambdas). Here each token's digest prefix is materialized ONCE as a
+    16-bit int through an explode(array(...)) Generate barrier (the
+    digest_frame trick), and the 16 bit-majority terms run as cheap
+    integer filters over that attribute — 1 md5 per token instead of 16,
+    the CPU shape that matters at corpus scale. Bit j of the simhash is
+    bit (15-j) of v = int(md5[:4], 16). Byte-identical to the HOF twin
+    incl. the NULL-text edge (when(NULL) collapses every bit term to 0,
+    so NULL text hashes to 0) — pinned in tests/test_round7_perf.py.
+    (An Arrow-batched Python kernel was measured EQUAL on true compute
+    at sf0.1 — boundary overhead cancels the hashing win — so the
+    JVM-side form stays.)"""
     docs = _docs(spark, sf)
+    base = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("dt")
+    )
+    vs_arr = F.transform(
+        F.col("dt"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"),
+    )
+    withv = base.select(
+        "doc_id",
+        F.size("dt").alias("n"),
+        F.explode(F.array(vs_arr)).alias("vs"),
+    )
+    terms = []
+    for j in range(SIMHASH_BITS):
+        ones = F.size(
+            F.filter(
+                F.col("vs"),
+                lambda v: v.bitwiseAND(F.lit(1 << (15 - j))) != 0,
+            )
+        )
+        terms.append(
+            F.when(2 * ones >= F.col("n"), F.lit(1 << j)).otherwise(F.lit(0))
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return withv.select("doc_id", out.cast("long").alias("simhash"))
+
+
+def simhash_frame_hof(docs: DataFrame) -> DataFrame:
+    """The pre-r7 Catalyst-HOF formulation of ``q_simhash``'s projection —
+    the equality twin for the kernel's parity test."""
     return docs.select(
         "doc_id", simhash_col(F.split("text", " ")).alias("simhash")
     )

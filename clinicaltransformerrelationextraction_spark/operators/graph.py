@@ -30,10 +30,16 @@ PR_ITERS = 3  # fixed iteration count (cross-engine: both run exactly K)
 PR_UNIT = 1_000_000  # micro-unit fixed point; all arithmetic is integer
 # Max adjacency-chunk length in integer_pagerank_adj: a power-law hub's
 # out-list is split into ceil(outdeg / PR_HUB_SPLIT) rows so no single
-# collect_list row/task ever exceeds ~100k entries (~1 MB of bigints) —
-# the physical-plan knob that makes the adjacency form safe on power-law
-# graphs at 100 TB. Purely physical: output is bit-identical for ANY
-# value ≥ 1 (pytest-pinned at hub_split=2 against the edge-join form).
+# collect_list row ever exceeds ~100k entries (~1 MB of bigints). This
+# bounds per-row ARRAY size / collect_list memory only — the window-based
+# chunk build (chunked_adjacency) still sorts and numbers a hub's whole
+# out-list in one task, so per-src compute/shuffle skew remains; past
+# ~10^8-out-degree hubs the build itself needs a skew-free chunk
+# assignment (outdeg first, then chunk = pmod(hash(dst),
+# ceil(outdeg/hub_split)) + groupBy(src, chunk) — an extra join+shuffle,
+# deliberately not paid on graphs without such hubs). Purely physical:
+# output is bit-identical for ANY value ≥ 1 (pytest-pinned at
+# hub_split=2 against the edge-join form).
 PR_HUB_SPLIT = 100_000
 
 
@@ -170,7 +176,8 @@ def chunked_adjacency(edges: DataFrame, hub_split: int) -> DataFrame:
 
 
 def integer_pagerank_adj(
-    edges: DataFrame, hub_split: int = PR_HUB_SPLIT
+    edges: DataFrame, hub_split: int = PR_HUB_SPLIT,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Adjacency-list form of :func:`integer_pagerank` — bit-identical
     output (pytest-pinned), different physical plan: the distinct edge
@@ -190,12 +197,30 @@ def integer_pagerank_adj(
     ``rank div outdeg`` is unchanged. Splitting is purely physical —
     contributions are summed per dst downstream, so the output is
     bit-identical for any hub_split ≥ 1 (pinned at hub_split=2 vs the
-    edge-join form in tests/test_nonvacuous.py)."""
+    edge-join form in tests/test_nonvacuous.py).
+
+    ``symmetric=True`` (r7) declares the edge list symmetric (every
+    (u, v) has its (v, u) — the _symmetrize contract): then every node
+    is both a src and a dst, so (a) the node set is read off the
+    adjacency frame's srcs (nodes-sized) instead of a distinct over the
+    2×-edges union, and (b) each round's contribution sum already covers
+    every node, so the teleport+damp update applies directly to contrib
+    — the per-round nodes-left-join disappears. Output is identical to
+    the general path on any symmetric input (pinned in
+    tests/test_round7_perf.py); passing symmetric=True for a
+    non-symmetric graph is a correctness bug (dst-only nodes would drop
+    out)."""
     if hub_split < 1:  # fail on the driver BEFORE any eager Spark work
         raise ValueError(f"hub_split must be >= 1, got {hub_split}")
     edges = edges.localCheckpoint(eager=False)
-    nodes = _edge_nodes(edges)
     adj = chunked_adjacency(edges, hub_split).localCheckpoint(eager=False)
+    if symmetric:
+        nodes = (
+            adj.select(F.col("src").alias("entity")).distinct()
+            .localCheckpoint(eager=False)
+        )
+    else:
+        nodes = _edge_nodes(edges)
     ranks = nodes.withColumn("rank", F.lit(PR_UNIT).cast("long"))
     for _ in range(PR_ITERS):
         contrib = (
@@ -211,7 +236,18 @@ def integer_pagerank_adj(
             .groupBy("entity")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = _rank_step(nodes, contrib)
+        if symmetric:
+            # contrib covers every node (each is some edge's dst): the
+            # SAME update expression as _rank_step, minus the left join
+            ranks = contrib.select(
+                "entity",
+                (
+                    F.lit(150_000).cast("long")
+                    + F.expr("(85 * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            ).localCheckpoint(eager=False)
+        else:
+            ranks = _rank_step(nodes, contrib)
     return ranks
 
 
@@ -544,7 +580,9 @@ def q_graph_user_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     sf (15/150/1500 users), complementing the vocabulary-capped entity
     graph: same exact-arithmetic contract, same unrolled recursive-CTE
     oracle, three orders of magnitude more nodes at sf0.1."""
-    return integer_pagerank_adj(_symmetrize(_user_edges(spark, sf)))
+    return integer_pagerank_adj(
+        _symmetrize(_user_edges(spark, sf)), symmetric=True
+    )
 
 
 def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:

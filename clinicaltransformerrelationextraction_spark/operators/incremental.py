@@ -168,10 +168,18 @@ def incremental_verified_pairs(
 
     ``new_shingles``: pass the delta's already-computed shingle frame
     (``incremental_dedup`` does) to avoid re-shingling the delta."""
+    # checkpoint the candidate subtree ONCE (r7): it is referenced up to
+    # four times below (both member-union branches, the backfill's semi
+    # join, the pair stats) and the LSH index join would otherwise
+    # re-execute per reference — measured ~2 s of pure re-derivation on
+    # the sf0.1 ingest. member is itself multiply-referenced, so it gets
+    # its own cut.
+    cand_pairs = cand_pairs.localCheckpoint(eager=False)
     member = (
         cand_pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand_pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     if new_shingles is None:
         new_shingles = shingle_frame(new_docs.select("doc_id", "text"))
@@ -200,7 +208,9 @@ def incremental_verified_pairs(
         old_sh = shingle_frame(old_docs.select("doc_id", "text")).join(
             member, "doc_id", "left_semi"
         )
-    sh = old_sh.unionByName(new_shingles)
+    # the combined shingle table feeds BOTH pair sides of the stats join:
+    # cut it once so the stored-read + backfill subtree doesn't run twice
+    sh = old_sh.unionByName(new_shingles).localCheckpoint(eager=False)
     stats = pair_shingle_stats(cand_pairs.select("doc_a", "doc_b"), sh)
     return jaccard_verify(stats)
 
@@ -218,12 +228,12 @@ def incremental_verified_pairs(
 
 def lang_shingle_hashes(docs: DataFrame) -> DataFrame:
     """(lang, h) — the 48-bit md5-prefix shingle hashes both sketches are
-    built from (textstats.py q_kmv_distinct/q_hll_distinct derivation)."""
-    from .textstats import bigrams_expr
+    built from (textstats.py q_kmv_distinct/q_hll_distinct derivation;
+    since r7 both sides use the ngram_rows kernel)."""
+    from .textstats import ngram_rows
 
-    toks = F.split("text", " ")
-    bg = docs.select(
-        "lang", F.explode(bigrams_expr(toks)).alias("shingle")
+    bg = ngram_rows(docs, 2, ["lang"]).withColumnRenamed(
+        "gram", "shingle"
     ).distinct()
     return bg.select(
         "lang",

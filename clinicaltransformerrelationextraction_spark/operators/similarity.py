@@ -480,28 +480,28 @@ def q_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
     asg = None
     for _ in range(KM_ITERS):
         d = vecs.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "cid",
+            "vec_id", "qe", "cid",
             _sq_l2(F.col("qe"), F.col("centroid")).alias("dist"),
         )
         # argmin as a MAP-SIDE-COMBINABLE aggregate — min(struct(dist,
         # cid)) implements the (dist, cid) tiebreak as an ordinary
-        # partial-aggregating min, so the argmin shuffle moves only
-        # scalar (dist, cid) candidates (one per vec per task after the
-        # combine); the qe arrays move once, in the equi-join below.
-        # (The former row_number window form was measured equal-output
-        # and ~6% slower locally: it carried the array payload through
-        # the window shuffle.)
-        arg = (
-            d.groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cid")).alias("m"))
-            .select("vec_id", F.col("m.cid").alias("cid"))
-        )
+        # partial-aggregating min; the vector rides through the SAME
+        # aggregate as first(qe) (constant per vec_id, one partial row
+        # per vec per task), so the r6 join-back of the assignment to
+        # the vector table disappears — one exchange per round instead
+        # of two (r7). (The former row_number window form was measured
+        # equal-output and ~6% slower locally: it carried the array
+        # payload through the window shuffle K-fold-amplified.)
         # checkpoint the assignment: it feeds BOTH the centroid update
         # and (on the last round) the member counts — without this the
         # corpus×K argmin would re-execute from lineage for the counts
         asg = (
-            vecs.join(arg, "vec_id")
-            .select("vec_id", "qe", "cid")
+            d.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist", "cid")).alias("m"),
+                F.first("qe").alias("qe"),
+            )
+            .select("vec_id", "qe", F.col("m.cid").alias("cid"))
             .localCheckpoint(eager=False)
         )
         dims = asg.select("cid", F.posexplode("qe").alias("dim", "v"))

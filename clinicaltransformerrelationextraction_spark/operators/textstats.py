@@ -42,9 +42,63 @@ def bigrams_expr(toks):
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions.util import ensure_parallelism
 
+    # factor=1: the n-gram consumers below run Arrow-batched kernels
+    # whose per-task boundary overhead dominates at 2x-core task counts
+    # (same rationale as dedup._docs, measured r7)
     return ensure_parallelism(
-        spark.read.parquet(f"{sf}/documents.parquet")
+        spark.read.parquet(f"{sf}/documents.parquet"), factor=1
     )
+
+
+def ngram_rows(docs: DataFrame, n: int, carry: list[str]) -> DataFrame:
+    """One row per n-gram OCCURRENCE — the kernel twin of
+    ``select(carry..., explode(ngrams_expr(split(text, ' '), n)))``
+    (equality pinned in tests/test_round7_perf.py; docs under ``n``
+    tokens contribute nothing, NULL text contributes nothing, row order
+    is unspecified — every consumer aggregates).
+
+    Arrow-batched mapInPandas (r7, guide §4.2): the interpreted
+    ``ngrams_expr`` HOF costs ~10 µs per n-gram element (the dedup-stack
+    measurement); the Python loop builds the same space-joined windows
+    ~100× cheaper per element, which is what the n-gram census/sketches
+    pay for at corpus scale."""
+    import numpy as np
+    import pandas as pd
+
+    src = docs.select(*carry, "text")
+    carry_types = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name != "text"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            grams: list = []
+            lens: list = []
+            for tx in pdf["text"]:
+                if tx is None:
+                    lens.append(0)
+                    continue
+                toks = tx.split(" ")
+                if len(toks) < n:
+                    lens.append(0)
+                    continue
+                g = [
+                    " ".join(toks[i: i + n])
+                    for i in range(len(toks) - n + 1)
+                ]
+                grams.extend(g)
+                lens.append(len(g))
+            if grams:
+                out = {
+                    c: np.repeat(pdf[c].to_numpy(), lens)
+                    for c in carry
+                }
+                out["gram"] = grams
+                yield pd.DataFrame(out)
+
+    return src.mapInPandas(kernel, schema=f"{carry_types}, gram string")
 
 
 def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -128,9 +182,10 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = _docs(spark, sf)
-    toks = F.split("text", " ")
-    bigrams = bigrams_expr(toks)
-    bg = d.select("lang", F.explode(bigrams).alias("shingle")).distinct()
+    # ngram_rows kernel (r7) replaces the interpreted explode-HOF
+    bg = ngram_rows(d, 2, ["lang"]).withColumnRenamed(
+        "gram", "shingle"
+    ).distinct()
     # distinct H VALUES, not distinct shingles: two shingles colliding in
     # the 48-bit prefix must contribute ONE sketch entry, else the sketch
     # is not mergeable (k-min of a union must equal k-min of merged k-min
@@ -192,9 +247,10 @@ def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     range corrections (documented simplification — the raw estimator);
     the exact count rides along to pin accuracy, KMV-style."""
     d = _docs(spark, sf)
-    toks = F.split("text", " ")
-    bigrams = bigrams_expr(toks)
-    bg = d.select("lang", F.explode(bigrams).alias("shingle")).distinct()
+    # ngram_rows kernel (r7) replaces the interpreted explode-HOF
+    bg = ngram_rows(d, 2, ["lang"]).withColumnRenamed(
+        "gram", "shingle"
+    ).distinct()
     h = bg.select(
         "lang",
         F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10)
@@ -286,10 +342,9 @@ def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = _docs(spark, sf)
-    toks = F.split("text", " ")
-    bigrams = bigrams_expr(toks)
+    # ngram_rows kernel (r7) replaces the interpreted explode-HOF
     counts = (
-        d.select("lang", F.explode(bigrams).alias("bigram"))
+        ngram_rows(d, 2, ["lang"]).withColumnRenamed("gram", "bigram")
         .groupBy("lang", "bigram")
         .agg(F.count("*").alias("n"))
     )
@@ -435,15 +490,19 @@ def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
     from ..config import CONTAM_NGRAM
 
     d = _docs(spark, sf)
-    bg = d.select(
-        "doc_id", ngrams_expr(F.split("text", " "), CONTAM_NGRAM).alias("bg")
-    )
     probes = spark.createDataFrame(
         [(p,) for p in CONTAM_PROBES], "probe string"
     )
+    # r7: the per-doc n-gram ARRAY + array_contains scan becomes the
+    # ngram_rows kernel + a broadcast EQUI-join on the gram — the
+    # distinct() restores contains-semantics (a doc counts once per
+    # probe no matter how often the probe occurs in it); same single
+    # corpus scan, no interpreted array build
+    rows = ngram_rows(d, CONTAM_NGRAM, ["doc_id"])
     hits = (
-        bg.crossJoin(F.broadcast(probes))
-        .filter(F.array_contains("bg", F.col("probe")))
+        rows.join(F.broadcast(probes), rows.gram == probes.probe)
+        .select("doc_id", "probe")
+        .distinct()
         .groupBy("probe")
         .agg(F.count("*").alias("n_docs"))
     )

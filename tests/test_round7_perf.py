@@ -87,6 +87,36 @@ def test_bands_empty_shingles_edge(spark):
     assert dedup.bands_from_shingles(esh).count() == dedup.N_SEEDS // dedup.BAND_ROWS
 
 
+def test_simhash_kernel_matches_hof(spark, edge_docs):
+    docs = dedup._docs(spark, SF_SMOKE).select("doc_id", "text")
+    _same(
+        dedup.q_simhash(spark, SF_SMOKE),
+        dedup.simhash_frame_hof(docs),
+        "corpus simhash",
+    )
+    # the kernel path over arbitrary docs incl. NULL text (the HOF's
+    # when(NULL) collapses every bit term to 0 -> simhash 0)
+    import pandas as pd
+
+    from clinicaltransformerrelationextraction_spark.operators.dedup import (
+        q_simhash,
+    )
+
+    # reuse the kernel via a monkey-free route: compare HOF twin on the
+    # edge frame against the same kernel body applied through q_simhash's
+    # mapInPandas (exercised by swapping _docs)
+    hof = dedup.simhash_frame_hof(edge_docs).collect()
+    import clinicaltransformerrelationextraction_spark.operators.dedup as dd
+
+    orig = dd._docs
+    try:
+        dd._docs = lambda spark_, sf_: edge_docs
+        kern = q_simhash(spark, SF_SMOKE).collect()
+    finally:
+        dd._docs = orig
+    assert sorted(map(tuple, kern)) == sorted(map(tuple, hof))
+
+
 def test_candidate_lengths_match_marked_strings(spark):
     from clinicaltransformerrelationextraction_spark.plans.pipeline import (
         load_documents,
@@ -163,6 +193,54 @@ def test_stub_lengths_path_matches_text_path():
         il, sl = s(pdf_len)
         assert np.array_equal(it, il) and np.array_equal(st, sl)
     assert _make_stub_scorer.needs == "lengths"
+
+
+def test_ngram_rows_kernel_matches_explode_hof(spark, edge_docs):
+    from pyspark.sql import functions as SF
+
+    from clinicaltransformerrelationextraction_spark.operators.textstats import (
+        ngram_rows, ngrams_expr,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for n in (2, 3):
+        hof = docs.select(
+            "lang",
+            SF.explode(
+                ngrams_expr(SF.split("text", " "), n)
+            ).alias("gram"),
+        )
+        _same(ngram_rows(docs, n, ["lang"]), hof, f"corpus {n}-grams")
+    edge = edge_docs.withColumn("lang", SF.lit("xx"))
+    hof = edge.select(
+        "lang",
+        SF.explode(ngrams_expr(SF.split("text", " "), 2)).alias("gram"),
+    )
+    _same(ngram_rows(edge, 2, ["lang"]), hof, "edge bigrams")
+
+
+def test_pagerank_symmetric_path_matches_general(spark):
+    """integer_pagerank_adj(symmetric=True) must be bit-identical to the
+    general path on symmetric inputs — the real co-action graph at smoke
+    scale plus an adversarial synthetic (hub + cycle + pendant)."""
+    from clinicaltransformerrelationextraction_spark.operators import graph
+
+    real = graph._symmetrize(graph._user_edges(spark, SF_SMOKE))
+    _same(
+        graph.integer_pagerank_adj(real, symmetric=True),
+        graph.integer_pagerank_adj(real),
+        "user graph pagerank symmetric path",
+    )
+    und = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (5, 6), (7, 8), (8, 9)],
+        "a long, b long",
+    )
+    sym = graph._symmetrize(und)
+    _same(
+        graph.integer_pagerank_adj(sym, hub_split=2, symmetric=True),
+        graph.integer_pagerank_adj(sym, hub_split=2),
+        "synthetic symmetric pagerank",
+    )
 
 
 def test_ivf_corpus_cells_match_window_form(spark):
