@@ -602,6 +602,112 @@ def candidates_join(
     )
 
 
+def candidates_lengths_kernel(
+    df: DataFrame, cfg: PipelineConfig | None = None, doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Arrow-batched kernel twin of
+    ``candidates_indexed(emit="lengths")`` — byte-identical rows (pinned
+    in tests/test_round7_perf.py), built by a plain Python loop per doc
+    instead of the interpreted Catalyst HOF enumeration (r7, guide §4.2;
+    same ~100× per-element gap the dedup kernels measured). Mirrors the
+    indexed enumeration EXACTLY, including the kept-set of the per-doc
+    cap (m1s in token order × the window's drugs in token order,
+    filtered, first ``max_pairs_per_doc``); window lengths come from a
+    per-doc prefix-sum of token character lengths (O(1) per pair). Used
+    only for lengths-only scoring backends (the stub); the text mode
+    keeps the JVM path, whose marked-string columns Catalyst can prune
+    under count()-style consumers."""
+    import pandas as pd
+
+    cfg = cfg or PipelineConfig()
+    # factor=1: one wave of core-count tasks — the per-task Python
+    # boundary overhead argument from the dedup kernels (r7)
+    src = ensure_parallelism(
+        df.select(F.col(doc_col).alias("doc_id"), F.col(text_col)), factor=1
+    )
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    vocab = dict(cfg.ent_vocab)
+    arg1_types = set(t1 for t1, _ in cfg.valid_combs)
+    arg2_types = set(t2 for _, t2 in cfg.valid_combs)
+    allowed: dict[str, set] = {}
+    for t1, t2 in cfg.valid_combs:
+        allowed.setdefault(t1, set()).add(t2)
+    sl = cfg.sent_len
+    cutoff = cfg.cutoff
+    cap = cfg.max_pairs_per_doc or 0
+
+    def kernel(batches):
+        for pdf in batches:
+            rows: list = []
+            for did, tx in zip(pdf["doc_id"], pdf[text_col]):
+                if tx is None:
+                    continue
+                toks = tx.split(" ")
+                ntok = len(toks)
+                men = [
+                    (i + 1, vocab[t], (i // sl))
+                    for i, t in enumerate(toks)
+                    if t in vocab
+                ]
+                m1s = [m for m in men if m[1] in arg1_types]
+                if not m1s:
+                    continue
+                m2s = [m for m in men if m[1] in arg2_types]
+                if not m2s:
+                    continue
+                n_sent = max((ntok + sl - 1) // sl, 1)
+                dbw = [
+                    [d for d in m2s if abs(d[2] - s) <= cutoff]
+                    for s in range(n_sent)
+                ]
+                pairs = []
+                done = False
+                for i1, t1, s1 in m1s:
+                    al = allowed.get(t1)
+                    for i2, t2, s2 in dbw[s1]:
+                        if i1 != i2 and al is not None and t2 in al:
+                            pairs.append((i1, t1, s1, i2, t2, s2))
+                            if cap and len(pairs) >= cap:
+                                done = True
+                                break
+                    if done:
+                        break
+                if not pairs:
+                    continue
+                pre = [0] * (ntok + 1)
+                for k, t in enumerate(toks):
+                    pre[k + 1] = pre[k] + len(t)
+                for i1, t1, s1, i2, t2, s2 in pairs:
+                    lo, hi = (s1, s2) if s1 <= s2 else (s2, s1)
+                    wst = lo * sl + 1
+                    wen = min(ntok, (hi + 1) * sl)
+                    # chars of the space-joined window + 10 marker chars
+                    wl = pre[wen] - pre[wst - 1] + (wen - wst) + 10
+                    rows.append(
+                        (did, f"T{i1}", f"T{i2}", t1, t2, wl, wl,
+                         abs(s1 - s2), i1, i2)
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "ent_id_1", "ent_id_2", "ent_type_1",
+                        "ent_type_2", "s1_len", "s2_len", "sent_diff",
+                        "i1", "i2",
+                    ],
+                )
+
+    return src.mapInPandas(
+        kernel,
+        schema=(
+            f"doc_id {id_type}, ent_id_1 string, ent_id_2 string, "
+            "ent_type_1 string, ent_type_2 string, s1_len int, "
+            "s2_len int, sent_diff int, i1 int, i2 int"
+        ),
+    )
+
+
 def candidates(
     df: DataFrame, cfg: PipelineConfig | None = None, doc_col: str = "doc_id",
     text_col: str = "text", emit: str = "text",
@@ -615,8 +721,15 @@ def candidates(
     ``emit="lengths"`` (r7) swaps the two marked-string columns for the
     single arithmetically-derived window length (s1_len/s2_len) — the
     input projection for scoring backends that declare
-    ``needs = "lengths"`` (see scoring._resolve_factory); everything else
-    is unchanged."""
+    ``needs = "lengths"`` (see scoring._resolve_factory). Batch
+    lengths-mode runs the Arrow-batched enumeration kernel
+    (``candidates_lengths_kernel``, pinned byte-identical to the indexed
+    HOF form); streams keep the HOF form (stream-compatible, and
+    micro-batches are small)."""
+    if emit == "lengths" and not df.isStreaming:
+        return candidates_lengths_kernel(
+            df, cfg, doc_col=doc_col, text_col=text_col
+        )
     return candidates_indexed(
         df, cfg, doc_col=doc_col, text_col=text_col, emit=emit
     )

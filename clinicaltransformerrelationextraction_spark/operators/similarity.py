@@ -741,30 +741,43 @@ def ann_ivf_pq_topk(
     nprobe = (cfg or PipelineConfig()).ann_nprobe
     q = _q(spark, sf)
     cents = _centroids(spark, sf)
-    assigned = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "qe", "label",
-            _sq_l2(F.col("qe"), F.col("centroid")).alias("cdist"),
-        )
+    cdist = _sq_l2(F.col("qe"), F.col("centroid"))
+    # QUERY cells: queries × n_cells rows — tiny by construction, the
+    # nprobe top-n window stays here
+    qcells = (
+        q.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", cdist.alias("cdist"))
         .withColumn(
             "crank",
             F.row_number().over(
                 Window.partitionBy("vec_id").orderBy("cdist", "label")
             ),
         )
+        .filter(F.col("crank") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("cell"))
     )
-    qcells = assigned.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= nprobe)
-    ).select(F.col("vec_id").alias("query_id"), F.col("label").alias("cell"))
     cb = _pq_codebook(spark, sf).localCheckpoint(eager=False)
-    # cell rides THROUGH the encode (extra key) — the persisted-index
-    # shape stores (cell, codes) together, so the cell-pruned scan never
-    # joins two corpus-sized frames to reunite them (no sort-merge join
-    # anywhere, plan-asserted)
-    corpus_src = assigned.filter(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("crank") == 1)
-    ).select("vec_id", F.col("label").alias("cell"), "qe")
+    # CORPUS cells (r7, same fix as q_ann_ivf_topk): min(struct(cdist,
+    # label)) is the (cdist ASC, label ASC) argmin as a scalar-only
+    # MAP-SIDE aggregate, and the raw vector rides through it as
+    # first(qe) — the corpus qe arrays no longer ride an
+    # n_cells-amplified window exchange. cell then rides THROUGH the
+    # encode (extra key) — the persisted-index shape stores (cell,
+    # codes) together, so the cell-pruned scan never joins two
+    # corpus-sized frames to reunite them (no sort-merge join anywhere,
+    # plan-asserted)
+    corpus_src = (
+        q.filter(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "qe", "label", cdist.alias("cdist"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("cdist", "label")).alias("m"),
+            F.first("qe").alias("qe"),
+        )
+        .select("vec_id", F.col("m.label").alias("cell"), "qe")
+    )
     corpus_codes = _pq_encode(_pq_subvecs(corpus_src), cb, extra=("cell",))
     dtab = _pq_dtab(_pq_subvecs(q.filter(F.col("vec_id") < N_QUERIES)), cb)
     approx = (

@@ -118,6 +118,9 @@ def test_simhash_kernel_matches_hof(spark, edge_docs):
 
 
 def test_candidate_lengths_match_marked_strings(spark):
+    from clinicaltransformerrelationextraction_spark.operators.candidates import (
+        candidates_indexed, candidates_lengths_kernel,
+    )
     from clinicaltransformerrelationextraction_spark.plans.pipeline import (
         load_documents,
     )
@@ -133,6 +136,15 @@ def test_candidate_lengths_match_marked_strings(spark):
         "doc_id", "i1", "i2", "s1_len", "s2_len"
     )
     _same(lens, text, "window lengths")
+    # the kernel must reproduce the FULL indexed lengths frame (all
+    # columns), including the capped kept-set and its enumeration order
+    for cap in (10_000, 7):
+        c = PipelineConfig(max_pairs_per_doc=cap)
+        _same(
+            candidates_lengths_kernel(docs, c),
+            candidates_indexed(docs, c, emit="lengths"),
+            f"lengths kernel vs indexed (cap={cap})",
+        )
 
 
 def test_cosine_with_norms_bit_identical(spark):
