@@ -54,11 +54,64 @@ def mentions(df: DataFrame, cfg: PipelineConfig | None = None,
     """documents -> (doc_id, mention_id, ent_type, tok_idx, sent_id, surface,
     start, end) with character offsets into the original text.
 
-    Brat ``T``-line shape (src/brat_eval.py:101-116). Offsets via a
-    cumulative sum window per doc (the only wide step; used when the
-    mentions *table* is materialized — the candidate pipeline itself never
-    needs this shuffle).
-    """
+    Brat ``T``-line shape (src/brat_eval.py:101-116). r7: an Arrow-batched
+    mapInPandas kernel — char offsets are a per-doc prefix sum, so the
+    former posexplode + per-doc cumulative-sum WINDOW (a full token-level
+    Exchange, the one wide step on the mentions path) is gone; the
+    mentions derivation is now zero-shuffle like the candidate pipeline.
+    Byte-identical to the window form (kept as ``mentions_hof``; pinned
+    in tests/test_round7_perf.py) and oracle-checked via q_mentions."""
+    from ..functions.util import ensure_parallelism
+
+    cfg = cfg or PipelineConfig()
+    src = ensure_parallelism(
+        df.select(F.col(doc_col).alias("doc_id"), F.col(text_col)), factor=1
+    )
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    vocab = dict(cfg.ent_vocab)
+    sl = cfg.sent_len
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list = []
+            for did, tx in zip(pdf["doc_id"], pdf[text_col]):
+                if tx is None:
+                    continue
+                start = 0
+                for i0, tok in enumerate(tx.split(" ")):
+                    et = vocab.get(tok)
+                    if et is not None:
+                        i = i0 + 1
+                        rows.append(
+                            (did, f"T{i}", et, i, i0 // sl, tok,
+                             start, start + len(tok))
+                        )
+                    start += len(tok) + 1
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "mention_id", "ent_type", "tok_idx",
+                        "sent_id", "surface", "start", "end",
+                    ],
+                )
+
+    return src.mapInPandas(
+        kernel,
+        schema=(
+            f"doc_id {id_type}, mention_id string, ent_type string, "
+            "tok_idx int, sent_id int, surface string, start long, "
+            "end long"
+        ),
+    )
+
+
+def mentions_hof(df: DataFrame, cfg: PipelineConfig | None = None,
+                 doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The pre-r7 window-based formulation of ``mentions`` — kept as the
+    equality twin for the kernel's parity test (its per-doc
+    cumulative-sum window shuffles every token row; the kernel's prefix
+    sum is in-row)."""
     cfg = cfg or PipelineConfig()
     toks = tokens_col(F.col(text_col))
     base = df.select(F.col(doc_col).alias("doc_id"), toks.alias("toks"))

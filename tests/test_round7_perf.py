@@ -207,6 +207,23 @@ def test_stub_lengths_path_matches_text_path():
     assert _make_stub_scorer.needs == "lengths"
 
 
+def test_mentions_kernel_matches_window_form(spark, edge_docs):
+    from clinicaltransformerrelationextraction_spark.operators.segmentation import (
+        mentions, mentions_hof,
+    )
+    from clinicaltransformerrelationextraction_spark.plans.pipeline import (
+        load_documents,
+    )
+
+    cfg = PipelineConfig()
+    docs = load_documents(spark, SF_SMOKE)
+    _same(mentions(docs, cfg), mentions_hof(docs, cfg), "corpus mentions")
+    _same(
+        mentions(edge_docs, cfg), mentions_hof(edge_docs, cfg),
+        "edge mentions",
+    )
+
+
 def test_ngram_rows_kernel_matches_explode_hof(spark, edge_docs):
     from pyspark.sql import functions as SF
 
