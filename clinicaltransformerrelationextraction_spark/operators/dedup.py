@@ -3,8 +3,10 @@ pipeline ops a 100 TB corpus needs before KG construction (exact dedup,
 MinHash+LSH, SimHash, n-gram Jaccard).
 
 Scale design:
-- shingling + minhash signatures are computed IN-ROW (higher-order
-  functions, zero shuffle);
+- shingling + minhash signatures are computed NARROWLY, zero shuffle —
+  since r7 as Arrow-batched mapInPandas kernels (the measured ~100×
+  cheaper-per-element replacement for the interpreted Catalyst
+  higher-order functions, which remain as `*_hof` equality twins);
 - the only shuffles are the LSH band-bucket self-join (equi-join on
   (band, band_key) — exactly what LSH exists for: it replaces the quadratic
   all-pairs join with a bucket join) and the final distinct;

@@ -275,8 +275,6 @@ def test_pagerank_symmetric_path_matches_general(spark):
 def test_ivf_corpus_cells_match_window_form(spark):
     """The r7 aggregate-based corpus cell pick (max of (ccos, -label))
     must equal the old window's crank==1 row for every corpus vector."""
-    from pyspark.sql import Window
-
     from clinicaltransformerrelationextraction_spark.operators import (
         similarity as sim,
     )
