@@ -447,6 +447,157 @@ def score_candidates(cand: DataFrame, cfg: PipelineConfig | None = None,
     return cand.mapInPandas(run, schema=out_schema)
 
 
+def enum_score_filter_number(
+    docs: DataFrame, cfg: PipelineConfig | None = None,
+    doc_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """The FULLY-FUSED flagship path for lengths-only scoring backends
+    (r7): candidate enumeration + scoring + NonRel filter + per-doc
+    R-numbering in ONE Arrow-batched mapInPandas pass over the documents
+    — no intermediate candidate frame crosses the Python boundary at
+    all. Valid only when the resolved backend declares
+    ``needs = "lengths"`` (asserted); text backends keep the two-stage
+    pipeline (candidates -> score_filter_number) unchanged.
+
+    The enumeration is candidates_lengths_kernel's loop verbatim (same
+    kept-set and cap semantics); docs are whole within each input row,
+    so numbering needs no cross-batch carry: rows are filtered, sorted
+    by (sent_diff, i1, i2) per doc, and numbered exactly like
+    score_filter_number's _emit. Output is byte-identical to
+    score_filter_number(candidates(docs, emit="lengths")) — pinned in
+    tests/test_round7_perf.py and by the q_triples oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.util import ensure_parallelism
+
+    cfg = cfg or PipelineConfig()
+    factory = _resolve_factory(cfg)
+    if getattr(factory, "needs", "text") != "lengths":
+        raise ValueError(
+            "enum_score_filter_number requires a lengths-only scoring "
+            f"backend; {cfg.scorer!r} consumes text — use "
+            "score_filter_number(candidates(docs), cfg)"
+        )
+    labels = list(cfg.labels)
+    label_arr = np.asarray(labels, dtype=object)
+    non_rel = cfg.non_rel
+    src = ensure_parallelism(
+        docs.select(F.col(doc_col).alias("doc_id"), F.col(text_col)),
+        factor=1,
+    )
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    vocab = dict(cfg.ent_vocab)
+    arg1_types = set(t1 for t1, _ in cfg.valid_combs)
+    arg2_types = set(t2 for _, t2 in cfg.valid_combs)
+    allowed: dict[str, set] = {}
+    for t1, t2 in cfg.valid_combs:
+        allowed.setdefault(t1, set()).add(t2)
+    sl = cfg.sent_len
+    cutoff = cfg.cutoff
+    cap = cfg.max_pairs_per_doc or 0
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = factory(cfg, labels)
+        for pdf_in in batches:
+            rows: list = []
+            for did, tx in zip(pdf_in["doc_id"], pdf_in[text_col]):
+                if tx is None:
+                    continue
+                toks = tx.split(" ")
+                ntok = len(toks)
+                men = [
+                    (i + 1, vocab[t], (i // sl))
+                    for i, t in enumerate(toks)
+                    if t in vocab
+                ]
+                m1s = [m for m in men if m[1] in arg1_types]
+                if not m1s:
+                    continue
+                m2s = [m for m in men if m[1] in arg2_types]
+                if not m2s:
+                    continue
+                n_sent = max((ntok + sl - 1) // sl, 1)
+                dbw = [
+                    [d for d in m2s if abs(d[2] - s) <= cutoff]
+                    for s in range(n_sent)
+                ]
+                pairs = []
+                done = False
+                for i1, t1, s1 in m1s:
+                    al = allowed.get(t1)
+                    for i2, t2, s2 in dbw[s1]:
+                        if i1 != i2 and al is not None and t2 in al:
+                            pairs.append((i1, t1, s1, i2, t2, s2))
+                            if cap and len(pairs) >= cap:
+                                done = True
+                                break
+                    if done:
+                        break
+                if not pairs:
+                    continue
+                pre = [0] * (ntok + 1)
+                for k, t in enumerate(toks):
+                    pre[k + 1] = pre[k] + len(t)
+                for i1, t1, s1, i2, t2, s2 in pairs:
+                    lo, hi = (s1, s2) if s1 <= s2 else (s2, s1)
+                    wst = lo * sl + 1
+                    wen = min(ntok, (hi + 1) * sl)
+                    wl = pre[wen] - pre[wst - 1] + (wen - wst) + 10
+                    rows.append(
+                        (did, f"T{i1}", f"T{i2}", t1, t2, wl, wl,
+                         abs(s1 - s2), i1, i2)
+                    )
+            if not rows:
+                continue
+            # the scorer sees the SAME columns a lengths-mode candidate
+            # frame carries (register_scorer contract fidelity)
+            pdf = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "ent_id_1", "ent_id_2", "ent_type_1",
+                    "ent_type_2", "s1_len", "s2_len", "sent_diff",
+                    "i1", "i2",
+                ],
+            )
+            idx, score = scorer(pdf)
+            pdf["pred_label"] = label_arr[idx]
+            pdf["score"] = score
+            pdf = pdf[pdf["pred_label"] != non_rel]
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(
+                ["doc_id", "sent_diff", "i1", "i2"], kind="mergesort"
+            ).reset_index(drop=True)
+            rn = pdf.groupby("doc_id", sort=False).cumcount() + 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "rel_n": rn.astype("int32"),
+                    "pred": pdf["pred_label"],
+                    "subj_id": pdf["ent_id_1"],
+                    "obj_id": pdf["ent_id_2"],
+                    "score": pdf["score"],
+                    "sent_diff": pdf["sent_diff"].astype("int32"),
+                    "i1": pdf["i1"].astype("int32"),
+                    "i2": pdf["i2"].astype("int32"),
+                }
+            )
+
+    out = src.mapInPandas(
+        run,
+        schema=(
+            f"doc_id {id_type}, rel_n int, pred string, subj_id string, "
+            "obj_id string, score double, sent_diff int, i1 int, i2 int"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.concat(F.lit("R"), F.col("rel_n")).alias("rel_id"),
+        "pred", "subj_id", "obj_id", "score", "sent_diff", "i1", "i2",
+    )
+
+
 def score_filter_number(cand: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     """FUSED scoring + NonRel filter + per-doc R-numbering in ONE
     ``mapInPandas`` pass with ZERO shuffle.

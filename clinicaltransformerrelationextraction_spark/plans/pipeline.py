@@ -89,17 +89,19 @@ def run_pipeline(
         )
     scored = score_candidates(cand, cfg)
     if fused and not salt:
-        # lengths-only backends (the stub) get the emit="lengths"
-        # candidate frame: the marked strings are never built for the
-        # fused path and two ints per row cross the Arrow boundary
-        # (r7; res.candidates keeps the full text contract, lazily)
-        emit = scoring_emit(cfg)
-        cand_score = (
-            candidates(docs, cfg, doc_col=doc_col, emit=emit)
-            if emit != "text"
-            else cand
-        )
-        trip = score_filter_number(cand_score, cfg)
+        # lengths-only backends (the stub): the FULLY-fused single-kernel
+        # path — enumeration + scoring + filter + numbering in one
+        # mapInPandas over the documents, nothing crossing the Python
+        # boundary in between (r7; res.candidates keeps the full text
+        # contract, lazily). Text backends keep the two-stage pipeline.
+        if scoring_emit(cfg) == "lengths" and not docs.isStreaming:
+            from ..operators.scoring import enum_score_filter_number
+
+            trip = enum_score_filter_number(
+                docs, cfg, doc_col=doc_col
+            )
+        else:
+            trip = score_filter_number(cand, cfg)
     else:
         # salted input interleaves docs within a partition (hash order), so
         # use the windowed form, which is order-independent

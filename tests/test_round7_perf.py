@@ -248,6 +248,30 @@ def test_ngram_rows_kernel_matches_explode_hof(spark, edge_docs):
     _same(ngram_rows(edge, 2, ["lang"]), hof, "edge bigrams")
 
 
+def test_fused_enum_score_matches_two_stage(spark):
+    """enum_score_filter_number (the r7 single-kernel flagship path) must
+    equal score_filter_number over the lengths candidate frame, incl.
+    the R-numbering, on default and capped configs."""
+    from clinicaltransformerrelationextraction_spark.operators.candidates import (
+        candidates_lengths_kernel,
+    )
+    from clinicaltransformerrelationextraction_spark.operators.scoring import (
+        enum_score_filter_number, score_filter_number,
+    )
+    from clinicaltransformerrelationextraction_spark.plans.pipeline import (
+        load_documents,
+    )
+
+    docs = load_documents(spark, SF_SMOKE)
+    for kw in ({}, {"max_pairs_per_doc": 7}, {"data_format_mode": 1}):
+        cfg = PipelineConfig(**kw)
+        _same(
+            enum_score_filter_number(docs, cfg),
+            score_filter_number(candidates_lengths_kernel(docs, cfg), cfg),
+            f"fused enum+score {kw}",
+        )
+
+
 def test_pagerank_symmetric_path_matches_general(spark):
     """integer_pagerank_adj(symmetric=True) must be bit-identical to the
     general path on symmetric inputs — the real co-action graph at smoke
